@@ -1,0 +1,301 @@
+""".osu beatmap (v14 text format) parser and corpus iterators.
+
+Capability parity with reference osu_fusion/library/osu/beatmap.py: section
+parser (:227), timing-point parsing with inherited-SV handling (:63), bitfield
+hit-object dispatch (:111), active-timing-point lookup with +/-1 ms tolerance
+(:98), ground-truth cursor position (:203), and ``all_maps``/``all_mapsets``
+iterators (:262). ``meta_only`` defers hit-object parsing for cheap metadata
+scans.
+
+Note: the reference's ``parse_events`` compares a string against int 2 and so
+never collects events (beatmap.py:150); we parse background/break events
+correctly instead (documented fix, SURVEY.md section "quirks").
+"""
+
+from __future__ import annotations
+
+import bisect
+import re
+from pathlib import Path
+from typing import Any, Dict, Generator, List, Tuple
+
+import numpy as np
+
+from osufusion_tpu.osu.hit_objects import Circle, HitObject, Slider, Spinner, Timed, TimingPoint
+from osufusion_tpu.osu.sliders import from_control_points
+
+CX, CY = 256, 192
+
+_LIST_SECTIONS = ("Events", "TimingPoints", "HitObjects")
+_SECTION_RE = re.compile(r"^\[(.*)\]$")
+_KV_RE = re.compile(r"^(\w*)\s?:\s?(.*)$")
+
+
+class Beatmap:
+    def __init__(self, filename: Path, meta_only: bool = False) -> None:
+        self.filename = Path(filename)
+
+        self.timing_points: List[TimingPoint] = []
+        self.uninherited_timing_points: List[TimingPoint] = []
+        self.hit_objects: List[HitObject] = []
+        self.events: List[List[str]] = []
+
+        with open(self.filename, "r", encoding="utf-8") as f:
+            cfg = self.parse_beatmap(f.readlines())
+
+        self.audio_filename = self.filename.parent / cfg["General"]["AudioFilename"]
+        self.mode = int(cfg["General"].get("Mode", 0))
+
+        self.title = cfg["Metadata"].get("Title", "")
+        self.artist = cfg["Metadata"].get("Artist", "")
+        self.creator = cfg["Metadata"].get("Creator", "")
+        self.version = cfg["Metadata"].get("Version", "")
+
+        try:
+            self.mapset_id = int(cfg["Metadata"]["BeatmapSetID"])
+        except (KeyError, ValueError):
+            self.mapset_id = None
+
+        diff = cfg["Difficulty"]
+        self.hp = float(diff["HPDrainRate"])
+        self.cs = float(diff["CircleSize"])
+        self.od = float(diff["OverallDifficulty"])
+        self.ar = float(diff.get("ApproachRate", 7))
+        self.slider_multiplier = float(diff["SliderMultiplier"])
+        self.slider_tick_rate = float(diff["SliderTickRate"])
+        self.beat_divisor = int(diff.get("BeatDivisor", 4))
+
+        self.unparsed_hit_objects = cfg.get("HitObjects", [])
+        self.unparsed_timing_points = cfg.get("TimingPoints", [])
+        self.unparsed_events = cfg.get("Events", [])
+
+        if not meta_only:
+            self.parse_map_data()
+
+    # ------------------------------------------------------------------ parse
+
+    def parse_map_data(self) -> None:
+        self.parse_timing_point(self.unparsed_timing_points)
+        del self.unparsed_timing_points
+        self.parse_hit_object(self.unparsed_hit_objects)
+        del self.unparsed_hit_objects
+        self.parse_events(self.unparsed_events)
+        del self.unparsed_events
+
+    def parse_timing_point(self, lines: List[str]) -> None:
+        cur_beat_length = None
+        cur_meter = None
+
+        for line in lines:
+            vals = [float(x) for x in line.strip().split(",")]
+            t, x, meter = vals[:3]
+            kiai = int(vals[7] if len(vals) >= 8 else 0) % 2 == 1
+
+            if len(vals) >= 7 and vals[6] == 0:
+                # inherited (green) point: x is -100 / SV
+                if len(self.timing_points) == 0:
+                    continue
+                if self.timing_points[-1].t == t:
+                    self.timing_points.pop()
+                slider_multiplier = min(10.0, max(0.1, round(-100 / float(x), 3)))
+            else:
+                # uninherited (red) point: x is the beat length in ms
+                cur_beat_length = x
+                slider_multiplier = 1.0
+                cur_meter = meter
+
+            tp = TimingPoint(int(t), cur_beat_length, slider_multiplier, cur_meter, kiai)
+            if len(self.timing_points) == 0 or tp != self.timing_points[-1]:
+                self.timing_points.append(tp)
+
+            utp = TimingPoint(int(t), cur_beat_length, None, cur_meter, None)
+            if len(self.uninherited_timing_points) == 0 or utp != self.uninherited_timing_points[-1]:
+                self.uninherited_timing_points.append(utp)
+
+        if len(self.timing_points) == 0:
+            raise ValueError("no timing points found")
+
+    def get_active_timing_point(self, t: float) -> TimingPoint:
+        # timing points can be off by a millisecond or two relative to objects
+        idx = -1
+        for t_offset in (0, -1, 1):
+            bisect_idx = bisect.bisect(self.timing_points, Timed(t + t_offset)) - 1
+            if bisect_idx >= 0:
+                idx = bisect_idx
+                break
+        if idx < 0:
+            return self.timing_points[0]
+        return self.timing_points[idx]
+
+    def parse_hit_object(self, lines: List[str]) -> None:
+        for line in lines:
+            vals = line.strip().split(",")
+            x, y, t, k = (int(float(v)) for v in vals[:4])
+            new_combo = (k & (1 << 2)) > 0
+            if k & (1 << 0):
+                ho: HitObject = Circle(t, new_combo, x, y)
+            elif k & (1 << 1):
+                curve, slides, length = vals[5:8]
+                _, *control_point_strs = curve.split("|")
+                control_points = [np.array([x, y], dtype=float)] + [
+                    np.array([int(c) for c in p.split(":")], dtype=float) for p in control_point_strs
+                ]
+                tp = self.get_active_timing_point(t)
+                ho = from_control_points(
+                    t,
+                    tp.beat_length,
+                    self.slider_multiplier * tp.slider_multiplier,
+                    new_combo,
+                    int(slides),
+                    float(length),
+                    control_points,
+                )
+            elif k & (1 << 3):
+                ho = Spinner(t, new_combo, int(vals[5]))
+            else:
+                continue
+
+            if self.hit_objects and ho.t < self.hit_objects[-1].end_time():
+                raise ValueError(
+                    f"hit objects not in chronological order: {ho.t} < {self.hit_objects[-1].end_time()}"
+                )
+            self.hit_objects.append(ho)
+
+        if len(self.hit_objects) == 0:
+            raise ValueError("no hit objects found")
+
+    def parse_events(self, lines: List[str]) -> None:
+        self.events = []
+        for line in lines:
+            vals = line.strip().split(",")
+            # event type 2 (or "Break") = break period
+            if vals[0] in ("2", "Break"):
+                self.events.append(vals)
+
+    # -------------------------------------------------------- cursor (ground truth)
+
+    @staticmethod
+    def _circle_cursor(ho: Circle, nho: HitObject, t: float) -> Tuple[Tuple[float, float], float]:
+        if nho is not None:
+            f = t / (nho.t - ho.t)
+            return ((1 - f) * ho.x + f * nho.x, (1 - f) * ho.y + f * nho.y), t
+        return (ho.x, ho.y), t
+
+    @staticmethod
+    def _spinner_cursor(ho: Spinner, nho: HitObject, t: float) -> Tuple[Tuple[float, float], float]:
+        spin_duration = ho.u - ho.t
+        if t < spin_duration:
+            return (CX, CY), 0
+        t -= spin_duration
+        if nho is not None:
+            f = t / (nho.t - ho.t - spin_duration)
+            return ((1 - f) * CX + f * nho.x, (1 - f) * CY + f * nho.y), t
+        return (CX, CY), t
+
+    @staticmethod
+    def _slider_cursor(ho: Slider, nho: HitObject, t: float) -> Tuple[Tuple[float, float], float]:
+        slide_duration = ho.slide_duration * ho.slides
+        if t < slide_duration:
+            single = ho.slide_duration
+            ts = t % (single * 2)
+            if ts < single:
+                return tuple(ho.lerp(ts / single)), 0
+            return tuple(ho.lerp(2 - ts / single)), 0
+        t -= slide_duration
+        end = ho.lerp(ho.slides % 2)
+        if nho is not None:
+            f = t / (nho.t - ho.t - slide_duration)
+            return ((1 - f) * end[0] + f * nho.x, (1 - f) * end[1] + f * nho.y), t
+        return tuple(end), t
+
+    def cursor(self, t: float) -> Tuple[Tuple[float, float], float]:
+        """Ground-truth cursor position at absolute time t (ms)."""
+        if t < self.hit_objects[0].t:
+            ho = self.hit_objects[0]
+            if isinstance(ho, Circle):
+                return (ho.x, ho.y), np.inf
+            if isinstance(ho, Spinner):
+                return (CX, CY), np.inf
+            return tuple(ho.start_pos()), np.inf
+
+        for ho, nho in zip(self.hit_objects, self.hit_objects[1:]):
+            if ho.t <= t < nho.t:
+                break
+        else:
+            ho = self.hit_objects[-1]
+            nho = None
+
+        rel = t - ho.t
+        if isinstance(ho, Circle):
+            return Beatmap._circle_cursor(ho, nho, rel)
+        if isinstance(ho, Spinner):
+            return Beatmap._spinner_cursor(ho, nho, rel)
+        return Beatmap._slider_cursor(ho, nho, rel)
+
+    # ------------------------------------------------------------ static helpers
+
+    @staticmethod
+    def parse_beatmap(lines: List[str]) -> Dict[str, Any]:
+        cfg: Dict[str, Any] = {}
+        section = None
+        for line in lines:
+            if line.startswith("//"):
+                continue
+            if line.strip() == "":
+                section = None
+                continue
+            m = _SECTION_RE.search(line.strip())
+            if m is not None:
+                section = m.group(1)
+                cfg[section] = [] if section in _LIST_SECTIONS else {}
+                continue
+            if section is None:
+                continue
+            if section in _LIST_SECTIONS:
+                cfg[section].append(line.strip())
+            else:
+                m2 = _KV_RE.search(line)
+                if m2 is not None:
+                    cfg[section][m2.group(1)] = m2.group(2).strip()
+        return cfg
+
+    @staticmethod
+    def all_maps(src_path: str, meta_only: bool = False) -> Generator["Beatmap", None, None]:
+        path = Path(src_path)
+        for filename in path.glob("*/*.osu"):
+            try:
+                beatmap = Beatmap(filename, meta_only=meta_only)
+            except Exception as e:  # noqa: BLE001 — corpus iteration is best-effort
+                print(f"Failed to parse {filename}: {e}")
+                continue
+            if beatmap.mode != 0:
+                continue
+            yield beatmap
+
+    @staticmethod
+    def all_mapsets(
+        src_path: str, meta_only: bool = False
+    ) -> Generator[Tuple[int, Path, List["Beatmap"]], None, None]:
+        mapset_path = Path(src_path)
+        for mapset_dir in mapset_path.iterdir():
+            if not mapset_dir.is_dir():
+                continue
+            maps: List[Beatmap] = []
+            mapset_id = None
+            audio_file = None
+            for map_file in mapset_dir.glob("*.osu"):
+                try:
+                    beatmap = Beatmap(map_file, meta_only=meta_only)
+                except Exception as e:  # noqa: BLE001
+                    print(f"Failed to parse {map_file}: {e}")
+                    continue
+                if beatmap.mode != 0:
+                    continue
+                maps.append(beatmap)
+                if audio_file is None:
+                    audio_file = beatmap.audio_filename
+                if mapset_id is None:
+                    mapset_id = beatmap.mapset_id
+            if audio_file is None or mapset_id is None or len(maps) == 0:
+                continue
+            yield mapset_id, audio_file, maps

@@ -1,0 +1,137 @@
+"""Codec tests: signal encoders, exact flip/extent inverses, and the full
+encode -> decode -> re-encode round trip on a synthetic beatmap."""
+
+import numpy as np
+import pytest
+
+from osufusion_tpu.codec import TOTAL_DIM, BeatmapEncoding, encode_beatmap
+from osufusion_tpu.codec.decode import Metadata, decode_beatmap
+from osufusion_tpu.codec.fit_bezier import fit_bezier, get_segment_length
+from osufusion_tpu.codec.hit import decode_extents, decode_flips, extents, flips_from_times
+from osufusion_tpu.codec.timing import timing_signal
+from osufusion_tpu.osu import Beatmap
+from tests.helpers import write_synthetic_map
+
+MS_PER_FRAME = 8
+
+
+def frame_times_for(n: int) -> np.ndarray:
+    return np.arange(n, dtype=float) * MS_PER_FRAME
+
+
+def test_flips_roundtrip_exact():
+    ft = frame_times_for(1024)
+    onsets = np.array([80.0, 400.0, 1000.0, 2000.0, 5000.0])
+    sig = flips_from_times(onsets, ft)
+    assert set(np.unique(sig)) <= {0.0, 1.0}
+    decoded = decode_flips(sig)
+    expect = [int(np.searchsorted(ft, t)) for t in onsets]
+    # the gradient-peak decoder sits on a two-sample plateau: within 1 frame
+    assert len(decoded) == len(expect)
+    assert all(abs(d - e) <= 1 for d, e in zip(decoded, expect))
+
+
+def test_extents_roundtrip_exact():
+    ft = frame_times_for(1024)
+    regions = [(100.0, 400.0), (1000.0, 1600.0), (4000.0, 6000.0)]
+    sig = extents(regions, ft)
+    starts, ends = decode_extents(sig)
+    # decode_extents finds the transition just before each region
+    assert len(starts) == len(regions)
+    for (s, e), ds, de in zip(regions, starts, ends):
+        assert abs(ft[ds] - s) <= 2 * MS_PER_FRAME
+        assert abs(ft[de] - e) <= 2 * MS_PER_FRAME
+
+
+def test_extents_orphan_end_cleanup():
+    # an end with no preceding start must be dropped
+    sig = np.zeros(100)
+    sig[:10] = 1.0  # starts already-high: produces an end at ~10 with no start
+    sig[50:60] = 1.0
+    starts, ends = decode_extents(sig)
+    assert all(s < e for s, e in zip(starts, ends))
+
+
+def test_encode_shapes_and_range(tmp_path):
+    bm = Beatmap(write_synthetic_map(tmp_path))
+    ft = frame_times_for(2048)
+    x = encode_beatmap(bm, ft)
+    assert x.shape == (TOTAL_DIM, 2048)
+    assert x.min() >= -1.0 - 1e-9 and x.max() <= 1.0 + 1e-9
+    # hit channels are exactly binary in {-1, 1}
+    for ch in (BeatmapEncoding.HIT, BeatmapEncoding.SUSTAIN, BeatmapEncoding.SLIDER, BeatmapEncoding.COMBO):
+        assert set(np.unique(x[ch])) <= {-1.0, 1.0}
+    # HIT flips once per hit object
+    n_flips = int(np.abs(np.diff((x[BeatmapEncoding.HIT] + 1) / 2)).sum())
+    assert n_flips == len(bm.hit_objects)
+
+
+def test_cursor_channels_track_objects(tmp_path):
+    bm = Beatmap(write_synthetic_map(tmp_path))
+    ft = frame_times_for(2048)
+    x = encode_beatmap(bm, ft)
+    cx = (x[BeatmapEncoding.CURSOR_X] + 1) / 2 * 512
+    cy = (x[BeatmapEncoding.CURSOR_Y] + 1) / 2 * 384
+    # before first object at t=1000: parked at (100, 100)
+    assert cx[0] == pytest.approx(100, abs=1)
+    assert cy[0] == pytest.approx(100, abs=1)
+    # during spinner (6000-7000ms): center
+    idx = int(np.searchsorted(ft, 6500))
+    assert cx[idx] == pytest.approx(256, abs=1)
+    assert cy[idx] == pytest.approx(192, abs=1)
+
+
+def test_timing_signal_sawtooth(tmp_path):
+    bm = Beatmap(write_synthetic_map(tmp_path))
+    ft = frame_times_for(2048)
+    ts = timing_signal(bm, ft)
+    assert ts.shape == (2, 2048)
+    assert ts.min() >= 0.0 and ts.max() < 1.0
+    # beat phase resets every beat_length=500ms after offset 1000
+    i0 = int(np.searchsorted(ft, 1000.0))
+    assert ts[0, i0] == pytest.approx((ft[i0] - 1000.0) % 500 / 500, abs=1e-9)
+
+
+def test_fit_bezier_error_bound():
+    rng = np.random.default_rng(0)
+    t = np.linspace(0, 1, 60)
+    curve = np.stack([300 * t, 100 * np.sin(np.pi * t)], axis=1) + rng.normal(0, 0.3, (60, 2))
+    segments = fit_bezier(curve, max_err=50.0)
+    assert len(segments) >= 1
+    total = sum(get_segment_length(s) for s in segments)
+    chord = np.linalg.norm(curve[-1] - curve[0])
+    assert total >= chord * 0.95
+    # endpoints preserved
+    assert np.allclose(segments[0][0], curve[0], atol=2)
+    assert np.allclose(segments[-1][-1], curve[-1], atol=2)
+
+
+def test_full_roundtrip(tmp_path):
+    """encode -> decode to .osu text -> reparse -> re-encode: onset structure
+    must survive (the canonical ground-truth test, SURVEY.md section 4)."""
+    bm = Beatmap(write_synthetic_map(tmp_path))
+    ft = frame_times_for(2048)
+    x = encode_beatmap(bm, ft)
+
+    meta = Metadata("audio.mp3", "Synthetic Test", "UnitTest", "RT", 4, 8, 6, 5)
+    osu_text = decode_beatmap(meta, x, ft, bpm=120.0, allow_beat_snap=False, verbose=False)
+
+    out = tmp_path / "decoded.osu"
+    out.write_text(osu_text, encoding="utf-8")
+    bm2 = Beatmap(out)
+
+    # same number of onsets within 1 (boundary effects allowed)
+    assert abs(len(bm2.hit_objects) - len(bm.hit_objects)) <= 1
+
+    # onset times within 2 frames
+    t1 = np.array([ho.t for ho in bm.hit_objects])
+    t2 = np.array([ho.t for ho in bm2.hit_objects])
+    n = min(len(t1), len(t2))
+    assert np.all(np.abs(t1[:n] - t2[:n]) <= 2 * MS_PER_FRAME + 1)
+
+    # re-encoded HIT channel closely matches
+    x2 = encode_beatmap(bm2, ft)
+    hit1 = (x[BeatmapEncoding.HIT] + 1) / 2
+    hit2 = (x2[BeatmapEncoding.HIT] + 1) / 2
+    agreement = (hit1 == hit2).mean()
+    assert agreement > 0.95
