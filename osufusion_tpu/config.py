@@ -1,0 +1,145 @@
+"""Single dataclass config system consumed by every entry point.
+
+The reference scatters hyperparameters between constructor defaults and CLI
+flags, with two flags parsed but never wired (--model-attn-heads,
+--model-depth, reference trainer.py:380-381) and a hardcoded dim_h=128 at
+inference (inference_gradio.py:40). Here every knob lives in one place and all
+CLIs and the serving path honor it (SURVEY.md section 5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from osufusion_tpu.audio.constants import AUDIO_DIM, CONTEXT_DIM
+
+TOTAL_DIM = 6  # osufusion_tpu.codec.encode.TOTAL_DIM (kept literal to avoid a cycle)
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Denoiser backbone configuration (UNet defaults match reference
+    osu_fusion/modules/unet.py:321-335 / models/diffusion.py:16-29)."""
+
+    backbone: str = "unet"  # unet | dit | mmdit
+    dim_in_x: int = TOTAL_DIM
+    dim_in_a: int = AUDIO_DIM
+    dim_in_c: int = CONTEXT_DIM
+    dim_h: int = 512
+    dim_h_mult: Tuple[int, ...] = (1, 2, 3, 4)
+    num_layer_blocks: Tuple[int, ...] = (3, 3, 3, 3)
+    num_middle_transformers: int = 3
+    cross_embed_kernel_sizes: Tuple[int, ...] = (3, 7, 15)
+    attn_dim_head: int = 64
+    attn_heads: int = 16
+    attn_kv_heads: int = 1
+    attn_context_len: int = 4096
+    # DiT / MMDiT specific
+    depth: int = 12
+    patch_size: int = 4
+    # numerics
+    dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    remat: bool = False
+    # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
+    attn_backend: str = "xla"
+
+    @property
+    def compute_dtype(self):
+        return _DTYPES[self.dtype]
+
+    @property
+    def params_dtype(self):
+        return _DTYPES[self.param_dtype]
+
+    @property
+    def unet_depth(self) -> int:
+        return len(self.dim_h_mult)
+
+
+@dataclass(frozen=True)
+class DiffusionConfig:
+    """Objective + sampler configuration (reference models/diffusion.py:48-54,
+    rectified_flow.py:51-52)."""
+
+    objective: str = "diffusion"  # diffusion (DDIM) | rectified-flow
+    train_timesteps: int = 1000
+    sampling_timesteps: int = 35  # DDIM steps; rectified flow default is 16
+    cond_drop_prob: float = 0.5
+    cfg_scale: float = 7.0  # diffusion default; RF default is 2.0
+    beta_start: float = 0.0001
+    beta_end: float = 0.02
+    clip_sample: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop configuration (CLI-flag parity with reference
+    trainer.py:364-391)."""
+
+    project_dir: str = "runs/default"
+    dataset_dir: str = "data"
+    model_type: str = "diffusion"
+    resume: Optional[str] = None
+    reset_steps: bool = False
+    dataset_mode: str = "subsequence"  # subsequence | random-length | full-sequence | dummy
+    max_length: int = 0
+    segment_length: int = 4096
+    mixed_precision: str = "bf16"  # no | bf16
+    full_bf16: bool = False
+    gradient_checkpointing: bool = False
+    gradient_accumulation_steps: int = 1
+    clip_grad_norm: float = 0.0
+    lr: float = 1e-5
+    batch_size: int = 4
+    num_workers: int = 2
+    total_steps: int = 1_000_000
+    save_every: int = 1000
+    max_num_checkpoints: int = 5
+    warmup_steps: int = 1000
+    sample_every: int = 1000
+    sample_audio: Optional[str] = None
+    seed: int = 0
+    # parallelism: data axis x model axis; -1 = all available devices on data
+    mesh_data: int = -1
+    mesh_model: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+
+        def mk(cls, d):
+            fields = {f.name for f in dataclasses.fields(cls)}
+            kwargs = {k: (tuple(v) if isinstance(v, list) else v) for k, v in d.items() if k in fields}
+            return cls(**kwargs)
+
+        return Config(
+            model=mk(ModelConfig, raw.get("model", {})),
+            diffusion=mk(DiffusionConfig, raw.get("diffusion", {})),
+            train=mk(TrainConfig, raw.get("train", {})),
+        )
+
+    def save(self, path: Path) -> None:
+        Path(path).write_text(self.to_json())
+
+    @staticmethod
+    def load(path: Path) -> "Config":
+        return Config.from_json(Path(path).read_text())

@@ -1,0 +1,91 @@
+"""Shared wrapper plumbing for the generative models.
+
+The public surface mirrors the reference's ``OsuFusion`` wrappers
+(osu_fusion/models/{diffusion,rectified_flow}.py): channel-first (B, C, N)
+tensors at the API edge, ``forward -> loss`` and ``sample``. Internally
+everything is channel-last and functional: methods take ``params`` explicitly
+and are jit/pjit-friendly pure functions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from osufusion_tpu.config import DiffusionConfig, ModelConfig
+from osufusion_tpu.nn.unet import UNet
+
+
+def to_channel_last(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.swapaxes(x, -1, -2)
+
+
+def to_channel_first(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.swapaxes(x, -1, -2)
+
+
+def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, orig_len: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """MSE over valid frames only (reference diffusion.py:100-111).
+
+    Returns (numerator, denominator) reduced over the WHOLE array so that under
+    pjit the division happens after the global reduction — exact parity across
+    any data sharding (the reference normalizes per process, which differs
+    between 1-GPU and DDP runs; see SURVEY.md section 5.8).
+    """
+    se = (pred - target) ** 2  # (B, T, C)
+    if orig_len is None:
+        return se.mean()
+    B, T, C = se.shape
+    mask = (jnp.arange(T)[None, :] < orig_len[:, None]).astype(se.dtype)  # (B, T)
+    num = jnp.sum(se * mask[..., None])
+    den = jnp.sum(mask) * C
+    return num / jnp.maximum(den, 1.0)
+
+
+class GenerativeModel:
+    """Base: owns the UNet module and parameter init."""
+
+    def __init__(self, model_cfg: ModelConfig, diffusion_cfg: DiffusionConfig) -> None:
+        self.model_cfg = model_cfg
+        self.cfg = diffusion_cfg
+        self.unet = UNet(model_cfg)
+
+    def init_params(self, rng: jax.Array, seq_len: int = 256, batch: int = 1):
+        x = jnp.zeros((batch, seq_len, self.model_cfg.dim_in_x))
+        a = jnp.zeros((batch, seq_len, self.model_cfg.dim_in_a))
+        t = jnp.zeros((batch,))
+        c = jnp.zeros((batch, self.model_cfg.dim_in_c))
+        return self.unet.init(rng, x, a, t, c, jnp.ones((batch,), dtype=bool))
+
+    def encode_audio(self, params, a_cf: jnp.ndarray) -> jnp.ndarray:
+        """(B, 96, N) -> bottleneck features (channel-last)."""
+        return self.unet.apply(params, to_channel_last(a_cf), method=UNet.encode_audio)
+
+    def _cfg_eps(
+        self,
+        params,
+        x: jnp.ndarray,  # (B, T, C) channel-last
+        a_enc: jnp.ndarray,
+        t: jnp.ndarray,  # (B,)
+        c: jnp.ndarray,
+        cond_scale: float,
+    ) -> jnp.ndarray:
+        """Classifier-free-guided prediction. For scale != 1 the conditional
+        and unconditional branches run as ONE doubled batch (better MXU
+        utilization than the reference's two sequential forwards,
+        unet.py:458-465)."""
+        B = x.shape[0]
+        if cond_scale == 1.0:
+            return self.unet.apply(
+                params, x, a_enc, t, c, jnp.ones((B,), dtype=bool), audio_encoded=True
+            )
+        x2 = jnp.concatenate([x, x], axis=0)
+        a2 = jnp.concatenate([a_enc, a_enc], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        c2 = jnp.concatenate([c, c], axis=0)
+        mask = jnp.concatenate([jnp.ones((B,), dtype=bool), jnp.zeros((B,), dtype=bool)])
+        out = self.unet.apply(params, x2, a2, t2, c2, mask, audio_encoded=True)
+        cond, uncond = out[:B], out[B:]
+        return uncond + (cond - uncond) * cond_scale

