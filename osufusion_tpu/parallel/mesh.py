@@ -1,0 +1,88 @@
+"""Device mesh construction and GSPMD sharding rules.
+
+The reference's only distribution strategy is DDP through HF Accelerate/NCCL
+(reference trainer.py:211-269, SURVEY.md section 2.7). The TPU-native
+equivalent is a 2-D ``jax.sharding.Mesh`` over ICI with named axes:
+
+- ``data``  — batch dimension (data parallelism; XLA all-reduces grads)
+- ``model`` — tensor parallelism over attention heads and FF inner dims
+
+Parameters are annotated with ``NamedSharding``s by path-pattern rules and jit
+does the rest: XLA inserts the all-gathers/reduce-scatters on ICI (the
+"scaling book" recipe: pick a mesh, annotate, let the compiler place
+collectives). With ``model=1`` this reduces to pure DP, matching the
+reference's capability; with ``model>1`` it exceeds it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis over the data axis, everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def _spec_for_param(path: str, shape: tuple, model_size: int) -> P:
+    """Tensor-parallel PartitionSpec for one parameter, by module path.
+
+    Sharded over ``model``: attention q/kv/out projections and FF inner dims
+    (column-parallel on the way in, row-parallel on the way out — the Megatron
+    pattern, which keeps the per-block collective count at two).
+    Convolutions, norms, and embeddings stay replicated: their channel dims
+    feed GroupNorm/concat patterns where sharding would force per-op
+    all-gathers.
+    """
+    if model_size == 1 or not path.endswith("kernel"):
+        return P()
+
+    def divisible(axis: int) -> bool:
+        return shape[axis] % model_size == 0
+
+    # column-parallel: shard output features
+    if ("to_q/" in path or "to_kv/" in path) and len(shape) == 2 and divisible(1):
+        return P(None, "model")
+    if "/ff/Dense_0/" in path and len(shape) == 2 and divisible(1):
+        return P(None, "model")
+    # row-parallel: shard input features
+    if "to_out/" in path and len(shape) == 2 and divisible(0):
+        return P("model", None)
+    if "/ff/Dense_1/" in path and len(shape) == 2 and divisible(0):
+        return P("model", None)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings matching ``params``' structure."""
+    model_size = mesh.shape["model"]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp) -> str:
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    specs = {path_str(kp): _spec_for_param(path_str(kp), v.shape, model_size) for kp, v in flat}
+
+    def assign(kp, v):
+        return NamedSharding(mesh, specs[path_str(kp)])
+
+    return jax.tree_util.tree_map_with_path(assign, params)

@@ -1,0 +1,202 @@
+"""Training loop tests on a virtual 8-device CPU mesh: sharded train step,
+gradient accumulation, checkpoint round trip, data pipeline."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
+from osufusion_tpu.models import build_model
+from osufusion_tpu.parallel import make_mesh, param_shardings
+from osufusion_tpu.train import data as D
+from osufusion_tpu.train.loop import (
+    checkpoint_manager,
+    init_state,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+    shard_state,
+)
+
+TINY_MODEL = ModelConfig(
+    dim_h=32,
+    dim_h_mult=(1, 2),
+    num_layer_blocks=(1, 1),
+    num_middle_transformers=1,
+    attn_dim_head=16,
+    attn_heads=4,
+    attn_kv_heads=1,
+    attn_context_len=64,
+    dtype="float32",
+)
+
+
+def tiny_config(**train_kwargs) -> Config:
+    defaults = dict(total_steps=10, warmup_steps=2, lr=1e-3, batch_size=8)
+    defaults.update(train_kwargs)
+    return Config(model=TINY_MODEL, diffusion=DiffusionConfig(), train=TrainConfig(**defaults))
+
+
+def np_batch(B=8, N=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, (B, 6, N)).astype(np.float32)
+    a = rng.normal(-10, 1, (B, 96, N)).astype(np.float32)
+    c = rng.uniform(-1, 1, (B, 5)).astype(np.float32)
+    orig_len = np.full(B, N, dtype=np.int32)
+    return x, a, c, orig_len
+
+
+def test_devices_virtualized():
+    assert len(jax.devices()) == 8
+
+
+def test_train_step_dp_loss_decreases():
+    cfg = tiny_config()
+    model = build_model(cfg.model, cfg.diffusion)
+    mesh = make_mesh(data=8, model=1)
+    state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+    state, _ = shard_state(state, mesh)
+    step = make_train_step(model, cfg, mesh)
+
+    batch = np_batch()
+    losses = []
+    for _ in range(24):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    # stochastic objective (random t + noise per step): compare averages
+    assert np.mean(losses[-6:]) < np.mean(losses[:6])
+    assert int(state.step) == 24
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_train_step_dp_tp_mesh():
+    """2x4 mesh: DP + tensor parallelism over attention/FF params."""
+    cfg = tiny_config(batch_size=4, mesh_data=2, mesh_model=4)
+    model = build_model(cfg.model, cfg.diffusion)
+    mesh = make_mesh(data=2, model=4)
+
+    state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+    shardings = param_shardings(state.params, mesh)
+    specs = {s.spec for s in jax.tree.leaves(shardings)}
+    # at least one param actually sharded over the model axis
+    assert any(any(ax == "model" for ax in spec if ax) for spec in specs if spec)
+
+    state, _ = shard_state(state, mesh)
+    step = make_train_step(model, cfg, mesh)
+    state, metrics = step(state, np_batch(B=4))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_grad_accumulation_matches_big_batch():
+    cfg_accum = tiny_config(gradient_accumulation_steps=2, batch_size=4)
+    model = build_model(cfg_accum.model, cfg_accum.diffusion)
+    mesh = make_mesh(data=4, model=1)
+    state = init_state(model, cfg_accum, jax.random.PRNGKey(0), seq_len=64)
+    state, _ = shard_state(state, mesh)
+    step = make_train_step(model, cfg_accum, mesh)
+    x, a, c, ol = np_batch(B=8)
+    micro = (x.reshape(2, 4, 6, 64), a.reshape(2, 4, 96, 64), c.reshape(2, 4, 5), ol.reshape(2, 4))
+    state, metrics = step(state, micro)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_config()
+    model = build_model(cfg.model, cfg.diffusion)
+    state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+    mngr = checkpoint_manager(tmp_path, max_to_keep=2)
+    save_checkpoint(mngr, state)
+    mngr.wait_until_finished()
+
+    state2 = init_state(model, cfg, jax.random.PRNGKey(42), seq_len=64)
+    restored = restore_checkpoint(mngr, state2)
+    for p1, p2 in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    assert int(restored.step) == int(state.step)
+
+
+def test_checkpoint_pruning(tmp_path):
+    cfg = tiny_config()
+    model = build_model(cfg.model, cfg.diffusion)
+    state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+    mngr = checkpoint_manager(tmp_path, max_to_keep=2)
+    for s in range(4):
+        state = state.replace(step=jnp.asarray(s, jnp.int32))
+        save_checkpoint(mngr, state)
+    mngr.wait_until_finished()
+    assert sorted(mngr.all_steps()) == [2, 3]
+
+
+# ------------------------------------------------------------------ data
+
+
+def test_dummy_dataset_and_collate():
+    ds = D.DummyDataset(num_samples=4, seed=0, min_length=100, max_length=300)
+    samples = list(ds)
+    assert len(samples) == 4
+    x, a, c, orig_len = D.collate(samples, bucket=128)
+    assert x.shape[0] == 4 and x.shape[1] == 6
+    assert x.shape[2] % 128 == 0
+    assert a.shape[2] == x.shape[2]
+    # padding values
+    i = int(np.argmin(orig_len))
+    assert np.all(x[i, :, orig_len[i] :] == -1.0)
+    assert np.all(a[i, :, orig_len[i] :] == -23.0)
+
+
+def test_npz_dataset_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    spec = rng.normal(-10, 3, (96, 500)).astype(np.float32)
+    np.savez_compressed(tmp_path / "spec.npz", a=spec)
+    x = rng.uniform(-1, 1, (6, 500)).astype(np.float32)
+    c = rng.uniform(-1, 1, 5).astype(np.float32)
+    np.savez_compressed(tmp_path / "m1.map.npz", x=x, c=c, spec_path="spec.npz")
+
+    ds = D.SubsequenceDataset([tmp_path / "m1.map.npz"], sequence_length=256, seed=0)
+    got = list(ds)
+    assert len(got) == 1
+    gx, ga, gc = got[0]
+    assert gx.shape == (6, 256) and ga.shape == (96, 256)
+    np.testing.assert_array_equal(gc, c)
+
+
+def test_nan_rejection(tmp_path):
+    spec = np.full((96, 100), np.nan, dtype=np.float32)
+    np.savez_compressed(tmp_path / "spec.npz", a=spec)
+    np.savez_compressed(
+        tmp_path / "bad.map.npz",
+        x=np.zeros((6, 100), np.float32),
+        c=np.zeros(5, np.float32),
+        spec_path="spec.npz",
+    )
+    with pytest.raises(ValueError):
+        D.load_tensor(tmp_path / "bad.map.npz")
+    # dataset classes quarantine the bad sample instead of crashing
+    ds = D.SubsequenceDataset([tmp_path / "bad.map.npz"], sequence_length=50, seed=0)
+    assert list(ds) == []
+
+
+def test_cursor_flip_augment():
+    x = np.random.default_rng(0).uniform(-1, 1, (6, 32)).astype(np.float32)
+    fx = D.flip_cursor_horizontal(x)
+    np.testing.assert_array_equal(fx[4], -x[4])
+    np.testing.assert_array_equal(fx[5], x[5])
+    fy = D.flip_cursor_vertical(x)
+    np.testing.assert_array_equal(fy[5], -x[5])
+
+
+def test_filter_dataset(tmp_path):
+    for name, n in [("short", 100), ("long", 3000)]:
+        np.savez_compressed(
+            tmp_path / f"{name}.map.npz",
+            x=np.zeros((6, n), np.float32),
+            c=np.zeros(5, np.float32),
+            spec_path="spec.npz",
+        )
+    kept = D.filter_dataset(sorted(tmp_path.glob("*.map.npz")), max_length=1000)
+    assert [p.stem for p in kept] == ["short.map"]

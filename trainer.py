@@ -1,0 +1,247 @@
+"""Pretraining CLI — flag-for-flag parity with the reference ``trainer.py``
+(reference trainer.py:364-391), driving the pjit training loop.
+
+Differences from the reference (documented): ``--model-attn-heads`` and
+``--model-depth`` are actually wired to the model (they were parsed-but-dead
+in the reference, trainer.py:380-381); ``--mesh-model`` adds tensor
+parallelism the reference never had; ``--dataset-mode dummy`` replaces the
+need for real data in smoke runs.
+"""
+
+from __future__ import annotations
+
+import time
+from argparse import ArgumentParser
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
+from osufusion_tpu.models import build_model
+from osufusion_tpu.parallel import make_mesh
+from osufusion_tpu.train import data as D
+from osufusion_tpu.train.loop import (
+    checkpoint_manager,
+    init_state,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+    shard_state,
+)
+from osufusion_tpu.utils.logging import MetricLogger
+
+
+def save_model_safetensors(params, path: Path) -> None:
+    """Final weight export in safetensors (reference trainer.py:143-145)."""
+    from safetensors.numpy import save_file
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    tensors = {
+        "/".join(str(getattr(k, "key", k)) for k in kp): np.asarray(v) for kp, v in flat
+    }
+    save_file(tensors, str(path))
+
+
+def sample_step(model, state, audio_path: Path, project_dir: Path, logger, step: int, model_cfg) -> None:
+    """Fixed-seed periodic sample rendered to a channel plot
+    (reference trainer.py:98-140)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    from osufusion_tpu.audio import load_audio, normalize_context
+
+    a = load_audio(audio_path)
+    c = normalize_context(np.array([4.0, 9.5, 9.5, 4.0, 6.0], dtype=np.float32))
+    a = a[None]
+    c = c[None]
+    n = a.shape[-1]
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, model_cfg.dim_in_x, n))
+    generated = np.asarray(model.sample(state.params, a, c, x=x0, cond_scale=1.0))
+
+    h = generated.shape[1]
+    fig, axs = plt.subplots(h, 1, figsize=(max(6, generated.shape[-1] // 150), h * 2), sharex=True)
+    for feature, ax in zip(generated[0], np.atleast_1d(axs)):
+        ax.plot(feature)
+    out = project_dir / f"sample_{step}.png"
+    fig.savefig(out)
+    plt.close(fig)
+    logger.log_image("generated", out, step)
+
+
+def train(cfg: Config) -> None:
+    print("Initializing...")
+    project_dir = Path(cfg.train.project_dir)
+    project_dir.mkdir(parents=True, exist_ok=True)
+    cfg.save(project_dir / "config.json")
+
+    mesh = make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
+    print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
+
+    model = build_model(cfg.model, cfg.diffusion)
+    state = init_state(model, cfg, jax.random.PRNGKey(cfg.train.seed), seq_len=min(cfg.train.segment_length, 4096))
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    print(f"model: {cfg.diffusion.objective} dim_h={cfg.model.dim_h} ({n_params/1e6:.1f}M params)")
+    state, _ = shard_state(state, mesh)
+    step_fn = make_train_step(model, cfg, mesh)
+
+    mngr = checkpoint_manager(project_dir, cfg.train.max_num_checkpoints)
+    if cfg.train.resume is not None:
+        state = restore_checkpoint(mngr, state)
+        if cfg.train.reset_steps:
+            import jax.numpy as jnp
+
+            state = state.replace(step=jnp.zeros((), jnp.int32))
+        print(f"resumed at step {int(state.step)}")
+
+    print("Loading dataset...")
+    paths = sorted(Path(cfg.train.dataset_dir).rglob("*.map.npz")) if cfg.train.dataset_mode != "dummy" else []
+    if cfg.train.max_length > 0 and paths:
+        paths = D.filter_dataset(paths, cfg.train.max_length)
+    dataset = D.make_dataset(cfg.train.dataset_mode, paths, seed=cfg.train.seed, segment_length=cfg.train.segment_length)
+    accum = cfg.train.gradient_accumulation_steps
+    bucket = min(D.BUCKET, max(64, cfg.train.segment_length))
+    batches = D.prefetch(D.batched(dataset, cfg.train.batch_size * max(1, accum), bucket=bucket), depth=4)
+
+    logger = MetricLogger(project_dir)
+    losses: list[float] = []
+    current_step = int(state.step)
+
+    print("Training...")
+    t_last = time.time()
+    while current_step < cfg.train.total_steps:
+        batch = next(batches)
+        if accum > 1:
+            x, a, c, ol = batch
+            B = cfg.train.batch_size
+            batch = (
+                x.reshape(accum, B, *x.shape[1:]),
+                a.reshape(accum, B, *a.shape[1:]),
+                c.reshape(accum, B, *c.shape[1:]),
+                ol.reshape(accum, B),
+            )
+        state, metrics = step_fn(state, batch)
+        current_step = int(state.step)
+
+        loss = float(metrics["loss"])
+        losses.append(loss)
+        if len(losses) > cfg.train.save_every:
+            losses.pop(0)
+        avg_loss = sum(losses) / len(losses)
+
+        dt = time.time() - t_last
+        t_last = time.time()
+        print(
+            f"step {current_step} loss={loss:.5f} avg={avg_loss:.5f} "
+            f"norm={float(metrics['grad_norm']):.4f} lr={float(metrics['lr']):.2e} ({dt:.2f}s)",
+            flush=True,
+        )
+        logger.log(
+            {"loss": loss, "total_norm": float(metrics["grad_norm"]), "lr": float(metrics["lr"])},
+            step=current_step,
+        )
+
+        if current_step % cfg.train.save_every == 0:
+            logger.log({"save_loss": avg_loss}, step=current_step)
+            save_checkpoint(mngr, state)
+
+        if (
+            current_step % cfg.train.sample_every == 0
+            and cfg.train.sample_audio is not None
+            and Path(cfg.train.sample_audio).exists()
+        ):
+            print("Sampling...")
+            sample_step(model, state, Path(cfg.train.sample_audio), project_dir, logger, current_step, cfg.model)
+
+    mngr.wait_until_finished()
+    save_model_safetensors(state.params, project_dir / "model.safetensors")
+    logger.close()
+    print("Done.")
+
+
+def parse_args() -> Config:
+    p = ArgumentParser()
+    p.add_argument("--project-dir", type=str, default="runs/default")
+    p.add_argument("--dataset-dir", type=str, default="data")
+    p.add_argument("--model-type", type=str, default="diffusion", choices=["diffusion", "rectified-flow"])
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--reset-steps", action="store_true")
+    p.add_argument("--full-sequence", action="store_true")
+    p.add_argument("--random-length", action="store_true")
+    p.add_argument("--dummy-dataset", action="store_true")
+    p.add_argument("--max-length", type=int, default=0)
+    p.add_argument("--segment-length", type=int, default=4096)
+    p.add_argument("--mixed-precision", type=str, default="bf16", choices=["no", "bf16"])
+    p.add_argument("--full-bf16", action="store_true")
+    p.add_argument("--gradient-checkpointing", action="store_true")
+    p.add_argument("--gradient-accumulation-steps", type=int, default=1)
+    p.add_argument("--clip-grad-norm", type=float, default=0.0)
+    p.add_argument("--model-dim", type=int, default=512)
+    p.add_argument("--model-attn-heads", type=int, default=16)
+    p.add_argument("--model-attn-kv-heads", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--total-steps", type=int, default=1_000_000)
+    p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--max-num-checkpoints", type=int, default=5)
+    p.add_argument("--warmup-steps", type=int, default=1000)
+    p.add_argument("--sample-every", type=int, default=1000)
+    p.add_argument("--sample-audio", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh-data", type=int, default=-1)
+    p.add_argument("--mesh-model", type=int, default=1)
+    args = p.parse_args()
+
+    if args.dummy_dataset:
+        mode = "dummy"
+    elif args.full_sequence:
+        mode = "full-sequence"
+    elif args.random_length:
+        mode = "random-length"
+    else:
+        mode = "subsequence"
+
+    model = ModelConfig(
+        dim_h=args.model_dim,
+        attn_heads=args.model_attn_heads,
+        attn_kv_heads=args.model_attn_kv_heads,
+        dtype="bfloat16" if args.mixed_precision == "bf16" else "float32",
+        remat=args.gradient_checkpointing,
+    )
+    diffusion = DiffusionConfig(objective=args.model_type)
+    train_cfg = TrainConfig(
+        project_dir=args.project_dir,
+        dataset_dir=args.dataset_dir,
+        model_type=args.model_type,
+        resume=args.resume,
+        reset_steps=args.reset_steps,
+        dataset_mode=mode,
+        max_length=args.max_length,
+        segment_length=args.segment_length,
+        mixed_precision=args.mixed_precision,
+        full_bf16=args.full_bf16,
+        gradient_checkpointing=args.gradient_checkpointing,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        clip_grad_norm=args.clip_grad_norm,
+        lr=args.lr,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        total_steps=args.total_steps,
+        save_every=args.save_every,
+        max_num_checkpoints=args.max_num_checkpoints,
+        warmup_steps=args.warmup_steps,
+        sample_every=args.sample_every,
+        sample_audio=args.sample_audio,
+        seed=args.seed,
+        mesh_data=args.mesh_data,
+        mesh_model=args.mesh_model,
+    )
+    return Config(model=model, diffusion=diffusion, train=train_cfg)
+
+
+if __name__ == "__main__":
+    train(parse_args())
