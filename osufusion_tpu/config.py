@@ -50,7 +50,7 @@ class ModelConfig:
     param_dtype: str = "float32"
     remat: bool = False
     # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
-    attn_backend: str = "xla"
+    attn_backend: str = "auto"
 
     @property
     def compute_dtype(self):

@@ -17,7 +17,7 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from osufusion_tpu.ops.attention import gqa_attention
+from osufusion_tpu.ops.attention import sdpa
 from osufusion_tpu.ops.rope import apply_rope, rope_tables
 
 Dtype = jnp.dtype
@@ -248,6 +248,7 @@ class Attention(nn.Module):
     heads: int = 16
     kv_heads: int = 1
     context_len: int = 4096
+    backend: str = "auto"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -276,7 +277,7 @@ class Attention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        out = gqa_attention(q, k, v).reshape(B, T, self.heads * self.dim_head)
+        out = sdpa(q, k, v, backend=self.backend).reshape(B, T, self.heads * self.dim_head)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(out)
         return x + out
 
@@ -306,6 +307,7 @@ class TransformerBlock(nn.Module):
     attn_heads: int = 16
     attn_kv_heads: int = 1
     attn_context_len: int = 4096
+    attn_backend: str = "auto"
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -316,6 +318,7 @@ class TransformerBlock(nn.Module):
             heads=self.attn_heads,
             kv_heads=self.attn_kv_heads,
             context_len=self.attn_context_len,
+            backend=self.attn_backend,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",

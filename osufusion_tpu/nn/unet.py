@@ -58,6 +58,7 @@ class UNetBlock(nn.Module):
     attn_heads: int
     attn_kv_heads: int
     attn_context_len: int
+    attn_backend: str = "auto"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -79,6 +80,7 @@ class UNetBlock(nn.Module):
                 attn_heads=self.attn_heads,
                 attn_kv_heads=self.attn_kv_heads,
                 attn_context_len=self.attn_context_len,
+                attn_backend=self.attn_backend,
                 **common,
                 name=f"transformer_{i}",
             )(x)
@@ -120,6 +122,7 @@ class AudioEncoder(nn.Module):
                 attn_heads=cfg.attn_heads,
                 attn_kv_heads=cfg.attn_kv_heads,
                 attn_context_len=cfg.attn_context_len // (2**i),
+                attn_backend=cfg.attn_backend,
                 **common,
                 name=f"layer_{i}",
             )(x, None, None)
@@ -161,6 +164,7 @@ class UNet(nn.Module):
                 attn_heads=cfg.attn_heads,
                 attn_kv_heads=cfg.attn_kv_heads,
                 attn_context_len=cfg.attn_context_len // (2**i),
+                attn_backend=cfg.attn_backend,
                 **common,
                 name=f"down_{i}",
             )
@@ -176,6 +180,7 @@ class UNet(nn.Module):
                 attn_heads=cfg.attn_heads,
                 attn_kv_heads=cfg.attn_kv_heads,
                 attn_context_len=bottleneck_ctx,
+                attn_backend=cfg.attn_backend,
                 **common,
                 name=f"middle_transformer_{i}",
             )
@@ -198,6 +203,7 @@ class UNet(nn.Module):
                 attn_heads=cfg.attn_heads,
                 attn_kv_heads=cfg.attn_kv_heads,
                 attn_context_len=cfg.attn_context_len // (2 ** (n_layers - i - 1)),
+                attn_backend=cfg.attn_backend,
                 **common,
                 name=f"up_{i}",
             )

@@ -15,7 +15,31 @@ flash-kernel selection and repeats KV heads to full MHA before the kernel
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=1)
+def on_tpu() -> bool:
+    try:
+        return any("tpu" in d.device_kind.lower() for d in jax.devices())
+    except Exception:
+        return False
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
+    """Dispatch: Pallas flash kernel on TPU for tileable shapes, XLA einsum
+    otherwise. q (B, T, H, D); k/v (B, S, Kv, D)."""
+    from osufusion_tpu.ops.pallas_attention import flash_attention, flash_attention_available
+
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    use_flash = backend == "pallas" or (backend == "auto" and on_tpu() and flash_attention_available(T, S, D))
+    if use_flash:
+        return flash_attention(q, k, v)
+    return gqa_attention(q, k, v)
 
 
 def gqa_attention(

@@ -1,0 +1,64 @@
+"""Flash-attention kernel correctness vs the naive einsum reference, in
+Pallas interpret mode (CPU). Real-chip numerics are exercised by bench.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from osufusion_tpu.ops.attention import gqa_attention
+from osufusion_tpu.ops import pallas_attention as pa
+
+
+def make_qkv(B=1, T=256, H=4, Kv=1, D=64, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), dtype=dtype)
+    k = jnp.asarray(rng.normal(0, 1, (B, T, Kv, D)), dtype=dtype)
+    v = jnp.asarray(rng.normal(0, 1, (B, T, Kv, D)), dtype=dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("kv_heads", [1, 2])
+def test_flash_forward_matches_naive(kv_heads):
+    q, k, v = make_qkv(B=2, T=256, H=4, Kv=kv_heads)
+    with pltpu.force_tpu_interpret_mode():
+        out_flash = pa.flash_attention(q, k, v)
+    out_naive = gqa_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_naive), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_forward_multiblock():
+    """More than one KV block exercises the online-softmax accumulation."""
+    q, k, v = make_qkv(B=1, T=512, H=2, Kv=1)
+    with pltpu.force_tpu_interpret_mode():
+        out_flash = pa.flash_attention(q, k, v)
+    out_naive = gqa_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_naive), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_backward_matches_naive():
+    q, k, v = make_qkv(B=1, T=256, H=2, Kv=1)
+
+    def loss_flash(q, k, v):
+        return (pa.flash_attention(q, k, v) * 0.01).sum()
+
+    def loss_naive(q, k, v):
+        return (gqa_attention(q, k, v) * 0.01).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for gf, gn, name in zip(g_flash, g_naive, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gn), atol=5e-5, rtol=5e-4, err_msg=f"d{name} mismatch"
+        )
+
+
+def test_block_picker_and_availability():
+    assert pa._pick_block(4096, 512) == 512
+    assert pa._pick_block(8320, 512) == 128  # 65x128: full-song deepest level
+    assert pa._pick_block(100, 512) == 0
+    assert pa.flash_attention_available(4096, 4096, 64)
+    assert not pa.flash_attention_available(100, 100, 64)
+    assert not pa.flash_attention_available(4096, 4096, 48)

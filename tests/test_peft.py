@@ -1,0 +1,140 @@
+"""LoRA/DoRA overlay tests: identity at init, gradient isolation, merge."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osufusion_tpu.config import DiffusionConfig, ModelConfig
+from osufusion_tpu.models import DiffusionModel
+from osufusion_tpu.peft import LoraConfig, apply_lora, count_lora_params, init_lora, merge_lora
+
+TINY = ModelConfig(
+    dim_h=32,
+    dim_h_mult=(1, 2),
+    num_layer_blocks=(1, 1),
+    num_middle_transformers=1,
+    attn_dim_head=16,
+    attn_heads=4,
+    attn_kv_heads=1,
+    attn_context_len=64,
+    dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    model = DiffusionModel(TINY, DiffusionConfig())
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=64)
+    # the output conv is zero-init, which makes a fresh model's output (and all
+    # upstream gradients) identically zero — randomize it so grads flow
+    fc = params["params"]["final_conv"]
+    fc["kernel"] = jax.random.normal(jax.random.PRNGKey(9), fc["kernel"].shape) * 0.1
+    return model, params
+
+
+def test_targets_matched(model_and_params):
+    _, params = model_and_params
+    adapters = init_lora(params, LoraConfig(r=4), jax.random.PRNGKey(1))
+    paths = list(adapters)
+    assert any("to_q" in p for p in paths)
+    assert any("to_kv" in p for p in paths)
+    assert any("to_out" in p for p in paths)
+    assert any("FiLMBlock_0" in p for p in paths)
+    assert any("FiLMBlock_1" in p for p in paths)
+    trainable, n_layers = count_lora_params(adapters)
+    total = sum(p.size for p in jax.tree.leaves(params))
+    assert 0 < trainable < total * 0.5
+
+
+@pytest.mark.parametrize("use_dora", [False, True])
+def test_identity_at_init(model_and_params, use_dora):
+    """B=0 at init: adapted forward must equal the base forward exactly."""
+    model, params = model_and_params
+    cfg = LoraConfig(r=4, use_dora=use_dora)
+    adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+    eff = apply_lora(params, adapters, cfg)
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 6, 64), minval=-1, maxval=1)
+    a = jax.random.normal(jax.random.PRNGKey(3), (1, 96, 64))
+    c = jnp.zeros((1, 5))
+    loss_base = model.loss(params, jax.random.PRNGKey(4), x, a, c)
+    loss_eff = model.loss(eff, jax.random.PRNGKey(4), x, a, c)
+    np.testing.assert_allclose(float(loss_base), float(loss_eff), rtol=1e-5)
+
+
+def test_gradients_flow_to_adapters_only(model_and_params):
+    model, params = model_and_params
+    cfg = LoraConfig(r=4, use_dora=True)
+    adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 6, 64), minval=-1, maxval=1)
+    a = jax.random.normal(jax.random.PRNGKey(3), (1, 96, 64))
+    c = jnp.zeros((1, 5))
+
+    def loss_fn(adapters):
+        eff = apply_lora(params, adapters, cfg)
+        return model.loss(eff, jax.random.PRNGKey(4), x, a, c)
+
+    grads = jax.grad(loss_fn)(adapters)
+    # B starts at zero so dL/dA = 0 at init, but dL/dB and dL/dm are nonzero
+    gb = sum(float(jnp.abs(e["b"]).sum()) for e in grads.values())
+    gm = sum(float(jnp.abs(e["m"]).sum()) for e in grads.values())
+    assert gb > 0
+    assert gm > 0
+
+
+def test_train_adapters_reduces_loss(model_and_params):
+    model, params = model_and_params
+    cfg = LoraConfig(r=4, use_dora=True)
+    adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 6, 64), minval=-1, maxval=1)
+    a = jax.random.normal(jax.random.PRNGKey(3), (2, 96, 64))
+    c = jnp.zeros((2, 5))
+
+    @jax.jit
+    def step(adapters, key):
+        def loss_fn(ad):
+            return model.loss(apply_lora(params, ad, cfg), key, x, a, c)
+
+        loss, grads = jax.value_and_grad(loss_fn)(adapters)
+        adapters = jax.tree.map(lambda p, g: p - 1e-2 * g, adapters, grads)
+        return adapters, loss
+
+    losses = []
+    for i in range(20):
+        adapters, loss = step(adapters, jax.random.PRNGKey(i % 3))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_merge_bakes_adapters(model_and_params):
+    model, params = model_and_params
+    cfg = LoraConfig(r=4, use_dora=True)
+    adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+    # perturb B so the adapter is non-trivial
+    adapters = jax.tree.map(lambda v: v + 0.01, adapters)
+
+    merged = merge_lora(params, adapters, cfg)
+    eff = apply_lora(params, adapters, cfg)
+    for m, e in zip(jax.tree.leaves(merged), jax.tree.leaves(eff)):
+        np.testing.assert_allclose(np.asarray(m), np.asarray(e), rtol=1e-6)
+
+    # merged model runs standalone
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 6, 64), minval=-1, maxval=1)
+    a = jax.random.normal(jax.random.PRNGKey(3), (1, 96, 64))
+    c = jnp.zeros((1, 5))
+    loss = model.loss(merged, jax.random.PRNGKey(4), x, a, c)
+    assert jnp.isfinite(loss)
+
+
+def test_merge_nan_safety(model_and_params):
+    _, params = model_and_params
+    cfg = LoraConfig(r=4, use_dora=False)
+    adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+    bad = {k: dict(v) for k, v in adapters.items()}
+    first = next(iter(bad))
+    bad[first]["b"] = bad[first]["b"].at[0, 0].set(jnp.nan)
+    with pytest.raises(ValueError, match="NaNs detected"):
+        merge_lora(params, bad, cfg)
