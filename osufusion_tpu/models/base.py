@@ -45,12 +45,32 @@ def masked_mse(pred: jnp.ndarray, target: jnp.ndarray, orig_len: Optional[jnp.nd
 
 
 class GenerativeModel:
-    """Base: owns the UNet module and parameter init."""
+    """Base: owns the denoiser module (UNet/DiT/MMDiT) and parameter init."""
 
     def __init__(self, model_cfg: ModelConfig, diffusion_cfg: DiffusionConfig) -> None:
         self.model_cfg = model_cfg
         self.cfg = diffusion_cfg
-        self.unet = UNet(model_cfg)
+        if model_cfg.backbone == "unet":
+            self.unet = UNet(model_cfg)
+        elif model_cfg.backbone == "dit":
+            from osufusion_tpu.nn.dit import DiT
+
+            self.unet = DiT(model_cfg)
+        elif model_cfg.backbone == "mmdit":
+            from osufusion_tpu.nn.mmdit import MMDiT
+
+            self.unet = MMDiT(model_cfg)
+        else:
+            raise ValueError(f"unknown backbone: {model_cfg.backbone}")
+        # only the UNet has a separable audio encoder to hoist out of samplers
+        self.has_audio_encoder = model_cfg.backbone == "unet"
+
+    def encode_audio_cl(self, params, a_cl: jnp.ndarray) -> jnp.ndarray:
+        """Channel-last audio -> features reused across sampling steps.
+        Identity for backbones that consume the raw spectrogram each step."""
+        if self.has_audio_encoder:
+            return self.unet.apply(params, a_cl, method=UNet.encode_audio)
+        return a_cl
 
     def init_params(self, rng: jax.Array, seq_len: int = 256, batch: int = 1):
         x = jnp.zeros((batch, seq_len, self.model_cfg.dim_in_x))
@@ -60,8 +80,8 @@ class GenerativeModel:
         return self.unet.init(rng, x, a, t, c, jnp.ones((batch,), dtype=bool))
 
     def encode_audio(self, params, a_cf: jnp.ndarray) -> jnp.ndarray:
-        """(B, 96, N) -> bottleneck features (channel-last)."""
-        return self.unet.apply(params, to_channel_last(a_cf), method=UNet.encode_audio)
+        """(B, 96, N) -> reusable audio features (channel-last)."""
+        return self.encode_audio_cl(params, to_channel_last(a_cf))
 
     def _cfg_eps(
         self,

@@ -20,7 +20,6 @@ import numpy as np
 
 from osufusion_tpu.models import ddim
 from osufusion_tpu.models.base import GenerativeModel, masked_mse, to_channel_first, to_channel_last
-from osufusion_tpu.nn.unet import UNet
 
 
 class DiffusionModel(GenerativeModel):
@@ -80,7 +79,7 @@ class DiffusionModel(GenerativeModel):
         ts_prev = np.concatenate([ts[1:], [-1]])
 
         # encode the spectrogram ONCE for the whole trajectory
-        a_enc = self.unet.apply(params, to_channel_last(a), method=UNet.encode_audio)
+        a_enc = self.encode_audio_cl(params, to_channel_last(a))
 
         acp = self.acp
         clip = self.cfg.clip_sample

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from osufusion_tpu.models.base import GenerativeModel, masked_mse, to_channel_first, to_channel_last
-from osufusion_tpu.nn.unet import UNet
 
 
 def cosmap(t: jnp.ndarray) -> jnp.ndarray:
@@ -81,7 +80,7 @@ class RectifiedFlowModel(GenerativeModel):
         steps = sampling_timesteps or self.DEFAULT_SAMPLING_TIMESTEPS
         times = jnp.linspace(0.0, 1.0, steps)
 
-        a_enc = self.unet.apply(params, to_channel_last(a), method=UNet.encode_audio)
+        a_enc = self.encode_audio_cl(params, to_channel_last(a))
 
         def f(x, t_scalar):
             t_b = jnp.full((B,), t_scalar, dtype=jnp.float32)

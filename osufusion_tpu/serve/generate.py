@@ -1,0 +1,98 @@
+"""End-to-end generation: audio file -> sampled signal -> .osu decode -> .osz.
+
+Capability parity with reference inference_gradio.py's ``generate_beatmap``
+(:87-165) and ``load_model``/``create_model_from_checkpoint`` (:28-42), minus
+its hardcoded dim_h=128 (the model config travels with the checkpoint here).
+The sampler runs as one compiled program per (batch, padded-length) shape with
+the audio encoded once (see models/diffusion.py).
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from osufusion_tpu.audio import frame_times, load_audio, normalize_context
+from osufusion_tpu.codec.decode import Metadata, decode_beatmap
+from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig
+from osufusion_tpu.models import build_model
+from osufusion_tpu.utils.serialization import load_safetensors
+
+# pad generated lengths to a multiple of this so the flash-attention kernel
+# tiles every UNet level (128 at the deepest of 4 levels) and XLA sees few
+# distinct shapes
+LENGTH_BUCKET = 1024
+
+
+def load_model(model_path: Path, config_path: Optional[Path] = None):
+    """Returns (model, params). Config comes from the sibling config.json if
+    present (written by trainer.py), else defaults."""
+    model_path = Path(model_path)
+    if config_path is None:
+        candidate = model_path.parent / "config.json"
+        config_path = candidate if candidate.exists() else None
+    cfg = Config.load(config_path) if config_path else Config(model=ModelConfig(dim_h=128))
+    model = build_model(cfg.model, cfg.diffusion)
+    params_like = model.init_params(jax.random.PRNGKey(0), seq_len=256)
+    loaded = load_safetensors(model_path)
+    params = jax.tree.map(lambda ref, new: jnp.asarray(new, ref.dtype), params_like, loaded)
+    return model, params
+
+
+def generate_beatmap(
+    model,
+    params,
+    audio_path: Path,
+    title: str = "Unknown",
+    artist: str = "Unknown",
+    version: str = "OsuFusion",
+    cs: float = 4.0,
+    ar: float = 9.0,
+    od: float = 9.0,
+    hp: float = 5.0,
+    sr: float = 6.0,
+    num_samples: int = 1,
+    sampling_timesteps: Optional[int] = None,
+    cond_scale: float = 2.0,
+    bpm: Optional[float] = None,
+    allow_beat_snap: bool = True,
+    seed: int = 0,
+    output_path: Optional[Path] = None,
+) -> Tuple[bytes, list[str]]:
+    """Returns (.osz bytes, list of .osu texts). Writes to output_path if given."""
+    audio_path = Path(audio_path)
+    spec = load_audio(audio_path)  # (96, T)
+    n = spec.shape[-1]
+    padded = ((n + LENGTH_BUCKET - 1) // LENGTH_BUCKET) * LENGTH_BUCKET
+    spec_p = np.pad(spec, ((0, 0), (0, padded - n)), constant_values=-23.0)
+
+    a = jnp.asarray(np.repeat(spec_p[None], num_samples, axis=0))
+    c = jnp.asarray(np.repeat(normalize_context(np.array([cs, ar, od, hp, sr], np.float32))[None], num_samples, 0))
+    x0 = jax.random.normal(jax.random.PRNGKey(seed), (num_samples, model.model_cfg.dim_in_x, padded))
+
+    out = model.sample(params, a, c, x=x0, cond_scale=cond_scale, sampling_timesteps=sampling_timesteps)
+    signals = np.asarray(out)[..., :n]  # crop padding back off
+
+    ft = frame_times(n)
+    meta = Metadata(audio_path.name, title, artist, version, cs, ar, od, hp)
+
+    osu_texts = []
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.write(audio_path, audio_path.name)
+        for i in range(num_samples):
+            osu = decode_beatmap(meta, signals[i], ft, bpm=bpm, allow_beat_snap=allow_beat_snap, verbose=False)
+            osu_texts.append(osu)
+            suffix = f" {i + 1}" if num_samples > 1 else ""
+            z.writestr(f"{artist} - {title} ({version}{suffix}).osu", osu)
+    data = buf.getvalue()
+
+    if output_path is not None:
+        Path(output_path).write_bytes(data)
+    return data, osu_texts

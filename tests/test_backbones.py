@@ -1,0 +1,90 @@
+"""DiT and MMDiT backbone tests: shapes, zero-init output, CFG/null-cond,
+loss + sampling through the shared model wrappers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osufusion_tpu.config import DiffusionConfig, ModelConfig
+from osufusion_tpu.models import DiffusionModel
+
+
+def tiny_cfg(backbone: str) -> ModelConfig:
+    return ModelConfig(
+        backbone=backbone,
+        dim_h=32,
+        depth=2,
+        patch_size=4,
+        # DiT adds attention output straight back to the stream (no to_out
+        # projection, reference dit.py:108-116): heads * dim_head == dim_h
+        attn_dim_head=16,
+        attn_heads=2,
+        attn_kv_heads=2,
+        attn_context_len=64,
+        dtype="float32",
+    )
+
+
+@pytest.mark.parametrize("backbone", ["dit", "mmdit"])
+def test_backbone_forward_and_zero_init(backbone):
+    model = DiffusionModel(tiny_cfg(backbone), DiffusionConfig(sampling_timesteps=2))
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=64)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 6), minval=-1, maxval=1)
+    a = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 96)) - 10
+    t = jnp.array([10.0, 500.0])
+    c = jnp.zeros((2, 5))
+    out = model.unet.apply(params, x, a, t, c, jnp.array([True, False]))
+    assert out.shape == (2, 64, 6)
+    # adaLN-zero + zero-init output: fresh model returns exactly zero
+    assert bool((out == 0).all())
+
+
+@pytest.mark.parametrize("backbone", ["dit", "mmdit"])
+def test_backbone_loss_and_sample(backbone):
+    model = DiffusionModel(tiny_cfg(backbone), DiffusionConfig(sampling_timesteps=2))
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=64)
+
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 6, 64), minval=-1, maxval=1)
+    a = jax.random.normal(jax.random.PRNGKey(2), (2, 96, 64)) - 10
+    c = jnp.zeros((2, 5))
+    loss = model.loss(params, jax.random.PRNGKey(3), x, a, c, jnp.array([64, 48]))
+    assert jnp.isfinite(loss)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 64))
+    out = model.sample(params, a, c, x=x0, cond_scale=2.0, sampling_timesteps=2)
+    assert out.shape == (2, 6, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mmdit_nonmultiple_patch_length():
+    """MMDiT pads internally to the patch size (reference mmdit.py:360-365)."""
+    model = DiffusionModel(tiny_cfg("mmdit"), DiffusionConfig())
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=64)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 6, 66), minval=-1, maxval=1)
+    a = jax.random.normal(jax.random.PRNGKey(2), (1, 96, 66))
+    c = jnp.zeros((1, 5))
+    loss = model.loss(params, jax.random.PRNGKey(3), x, a, c)
+    assert jnp.isfinite(loss)
+
+
+def test_dit_null_cond_changes_output():
+    """cond_mask False must route through the learned null embedding."""
+    model = DiffusionModel(tiny_cfg("dit"), DiffusionConfig())
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=64)
+    # adaLN modulation and the output head are zero-init, so a fresh model is
+    # conditioning-blind; randomize both to make the null path observable
+    params["params"]["postprocess"]["kernel"] = jax.random.normal(
+        jax.random.PRNGKey(9), params["params"]["postprocess"]["kernel"].shape
+    )
+    params["params"]["block_0"]["modulation"]["kernel"] = (
+        jax.random.normal(jax.random.PRNGKey(10), params["params"]["block_0"]["modulation"]["kernel"].shape) * 0.1
+    )
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 6), minval=-1, maxval=1)
+    a = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 96))
+    t = jnp.array([100.0])
+    c = jnp.ones((1, 5))
+    out_cond = model.unet.apply(params, x, a, t, c, jnp.array([True]))
+    out_null = model.unet.apply(params, x, a, t, c, jnp.array([False]))
+    assert not np.allclose(np.asarray(out_cond), np.asarray(out_null))

@@ -1,0 +1,119 @@
+"""End-to-end pipeline tests: difficulty, preprocessing, serving."""
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from osufusion_tpu.audio import SR
+from osufusion_tpu.osu import Beatmap
+from osufusion_tpu.osu.difficulty import calculate_star_rating, calculate_star_rating_from_text
+from osufusion_tpu.train.preprocess import prepare_map
+from tests.helpers import SYNTHETIC_OSU, write_synthetic_map
+
+
+def write_audio(path, seconds=12.0, freq=440.0):
+    t = np.arange(int(SR * seconds)) / SR
+    wave = (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+    wavfile.write(path, SR, (wave * 32767).astype(np.int16))
+
+
+def test_star_rating_reasonable(tmp_path):
+    bm = Beatmap(write_synthetic_map(tmp_path))
+    sr = calculate_star_rating(bm)
+    assert 0.0 < sr < 12.0
+
+
+def test_star_rating_scales_with_density(tmp_path):
+    """Twice the object density must rate harder."""
+    def mk(name, step_ms):
+        lines = [f"{100 + (i % 8) * 40},{100 + (i % 5) * 30},{1000 + i * step_ms},1,0,0:0:0:0:" for i in range(60)]
+        text = SYNTHETIC_OSU.split("[HitObjects]")[0] + "[HitObjects]\n" + "\n".join(lines) + "\n"
+        p = tmp_path / name
+        p.write_text(text, encoding="utf-8")
+        return Beatmap(p)
+
+    slow = calculate_star_rating(mk("slow.osu", 400))
+    fast = calculate_star_rating(mk("fast.osu", 150))
+    assert fast > slow
+
+
+def test_star_rating_from_text(tmp_path):
+    sr = calculate_star_rating_from_text(SYNTHETIC_OSU)
+    assert sr > 0
+
+
+def test_prepare_map_end_to_end(tmp_path):
+    map_file = write_synthetic_map(tmp_path)
+    # the synthetic map references audio.mp3; write a wav and point to it
+    text = map_file.read_text().replace("audio.mp3", "audio.wav")
+    map_file.write_text(text)
+    write_audio(map_file.parent / "audio.wav")
+
+    out_dir = tmp_path / "dataset"
+    assert prepare_map(out_dir, map_file)
+
+    maps = list(out_dir.rglob("*.map.npz"))
+    specs = list(out_dir.rglob("spec.npz"))
+    assert len(maps) == 1 and len(specs) == 1
+
+    d = np.load(maps[0])
+    x, c = d["x"], d["c"]
+    assert x.shape[0] == 6
+    assert c.shape == (5,)
+    assert np.all(np.abs(c) <= 1.0)
+    spec = np.load(maps[0].parent / str(d["spec_path"]))["a"]
+    assert spec.shape[0] == 96
+    assert spec.shape[-1] == x.shape[-1]
+
+    # idempotent: second call short-circuits on the cache
+    assert prepare_map(out_dir, map_file)
+
+
+def test_prepare_map_rejects_non_std_mode(tmp_path):
+    map_file = write_synthetic_map(tmp_path)
+    text = map_file.read_text().replace("Mode: 0", "Mode: 3")
+    map_file.write_text(text)
+    assert not prepare_map(tmp_path / "dataset", map_file)
+
+
+def test_generate_beatmap_end_to_end(tmp_path):
+    """Tiny model: audio in -> .osz with parseable .osu files out."""
+    import jax
+
+    from osufusion_tpu.config import DiffusionConfig, ModelConfig
+    from osufusion_tpu.models import DiffusionModel
+    from osufusion_tpu.serve.generate import generate_beatmap
+
+    audio = tmp_path / "song.wav"
+    write_audio(audio, seconds=6.0)
+
+    cfg = ModelConfig(
+        dim_h=16,
+        dim_h_mult=(1, 2),
+        num_layer_blocks=(1, 1),
+        num_middle_transformers=1,
+        attn_dim_head=8,
+        attn_heads=2,
+        attn_kv_heads=1,
+        attn_context_len=64,
+        dtype="float32",
+    )
+    model = DiffusionModel(cfg, DiffusionConfig(sampling_timesteps=2))
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=64)
+
+    out = tmp_path / "gen.osz"
+    data, osu_texts = generate_beatmap(
+        model, params, audio, num_samples=2, sampling_timesteps=2, cond_scale=1.0, output_path=out
+    )
+    assert out.exists() and len(data) > 1000
+    assert len(osu_texts) == 2
+
+    import zipfile
+
+    with zipfile.ZipFile(out) as z:
+        names = z.namelist()
+    assert "song.wav" in names
+    assert sum(n.endswith(".osu") for n in names) == 2
+    # decoded .osu must be structurally valid (template + sections)
+    assert "[HitObjects]" in osu_texts[0]
+    assert "osu file format v14" in osu_texts[0]

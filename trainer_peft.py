@@ -1,0 +1,230 @@
+"""LoRA/DoRA fine-tuning CLI — capability parity with the reference
+``trainer_peft.py`` (:209-376): load a pretrained model, train only adapter
+parameters (r=32, alpha=32, DoRA, attention + residual-conv targets), save
+adapter checkpoints under ``loras/`` with an optimizer sidecar, and export a
+final ``merged_model.safetensors``.
+
+TPU-native mechanics: adapters are parameter-overlay pytrees applied in weight
+space per step (osufusion_tpu/peft/lora.py); the train step jits with the
+frozen base params captured as device constants and only the adapter tree
+donated/updated.
+"""
+
+from __future__ import annotations
+
+import time
+from argparse import ArgumentParser
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
+from osufusion_tpu.models import build_model
+from osufusion_tpu.peft import LoraConfig, apply_lora, count_lora_params, init_lora, merge_lora
+from osufusion_tpu.train import data as D
+from osufusion_tpu.train.loop import make_lr_schedule
+from osufusion_tpu.utils.logging import MetricLogger
+from osufusion_tpu.utils.serialization import load_safetensors, save_safetensors
+
+
+def make_peft_step(model, base_params, lora_cfg: LoraConfig, tx):
+    def loss_fn(adapters, rng, batch):
+        x, a, c, orig_len = batch
+        eff = apply_lora(base_params, adapters, lora_cfg)
+        return model.loss(eff, rng, x, a, c, orig_len)
+
+    @jax.jit
+    def step(adapters, opt_state, rng, batch):
+        rng, rng_step = jax.random.split(rng)
+        loss, grads = jax.value_and_grad(loss_fn)(adapters, rng_step, batch)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, adapters)
+        adapters = optax.apply_updates(adapters, updates)
+        return adapters, opt_state, rng, loss, grad_norm
+
+    return step
+
+
+def save_adapter_checkpoint(adapters, opt_state, step: int, project_dir: Path, lora_cfg: LoraConfig) -> None:
+    ckpt_dir = project_dir / "loras" / f"checkpoint-{step}"
+    ckpt_dir.mkdir(parents=True, exist_ok=True)
+    save_safetensors(adapters, ckpt_dir / "adapter_model.safetensors")
+    flat_opt = jax.tree.map(np.asarray, jax.tree.leaves(opt_state))
+    np.savez(ckpt_dir / "optimizer.npz", *flat_opt, step=step)
+    (ckpt_dir / "adapter_config.json").write_text(
+        f'{{"r": {lora_cfg.r}, "alpha": {lora_cfg.alpha}, "use_dora": {str(lora_cfg.use_dora).lower()}}}'
+    )
+
+
+def latest_adapter_checkpoint(project_dir: Path) -> Path | None:
+    ckpts = sorted(
+        (project_dir / "loras").glob("checkpoint-*"),
+        key=lambda p: int(p.name.split("-")[1]),
+    )
+    return ckpts[-1] if ckpts else None
+
+
+def load_adapter_checkpoint(ckpt_dir: Path, adapters, opt_state):
+    loaded = load_safetensors(ckpt_dir / "adapter_model.safetensors")
+    adapters = jax.tree.map(lambda ref, new: jnp.asarray(new, ref.dtype), adapters, loaded)
+    npz = np.load(ckpt_dir / "optimizer.npz")
+    leaves = [npz[f"arr_{i}"] for i in range(len(jax.tree.leaves(opt_state)))]
+    opt_state = jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(opt_state), leaves)
+    return adapters, opt_state, int(npz["step"])
+
+
+def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> None:
+    print("Initializing...")
+    project_dir = Path(cfg.train.project_dir)
+    project_dir.mkdir(parents=True, exist_ok=True)
+
+    model = build_model(cfg.model, cfg.diffusion)
+    base_params = model.init_params(jax.random.PRNGKey(cfg.train.seed), seq_len=256)
+    if model_path is not None:
+        print(f"loading pretrained weights from {model_path}")
+        loaded = load_safetensors(model_path)
+        base_params = jax.tree.map(lambda ref, new: jnp.asarray(new, ref.dtype), base_params, loaded)
+    if cfg.train.full_bf16:
+        base_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), base_params)
+
+    adapters = init_lora(base_params, lora_cfg, jax.random.PRNGKey(cfg.train.seed + 1))
+    trainable, n_layers = count_lora_params(adapters)
+    total = sum(p.size for p in jax.tree.leaves(base_params))
+    print(
+        f"trainable params: {trainable:,} || all params: {total + trainable:,} || "
+        f"trainable%: {trainable / (total + trainable) * 100:.4f} ({n_layers} adapted layers)"
+    )
+
+    tx = optax.adamw(make_lr_schedule(cfg))
+    if cfg.train.clip_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.train.clip_grad_norm), tx)
+    opt_state = tx.init(adapters)
+
+    current_step = 0
+    if resume:
+        ckpt = latest_adapter_checkpoint(project_dir)
+        if ckpt is not None:
+            adapters, opt_state, current_step = load_adapter_checkpoint(ckpt, adapters, opt_state)
+            print(f"resumed adapters from {ckpt} at step {current_step}")
+
+    step_fn = make_peft_step(model, base_params, lora_cfg, tx)
+
+    print("Loading dataset...")
+    paths = sorted(Path(cfg.train.dataset_dir).rglob("*.map.npz")) if cfg.train.dataset_mode != "dummy" else []
+    if cfg.train.max_length > 0 and paths:
+        paths = D.filter_dataset(paths, cfg.train.max_length)
+    dataset = D.make_dataset(cfg.train.dataset_mode, paths, seed=cfg.train.seed, segment_length=cfg.train.segment_length)
+    bucket = min(D.BUCKET, max(64, cfg.train.segment_length))
+    batches = D.prefetch(D.batched(dataset, cfg.train.batch_size, bucket=bucket), depth=4)
+
+    logger = MetricLogger(project_dir)
+    rng = jax.random.PRNGKey(cfg.train.seed + 2)
+    losses: list[float] = []
+
+    print("Training adapters...")
+    t_last = time.time()
+    while current_step < cfg.train.total_steps:
+        batch = next(batches)
+        adapters, opt_state, rng, loss, grad_norm = step_fn(adapters, opt_state, rng, batch)
+        current_step += 1
+
+        loss = float(loss)
+        losses.append(loss)
+        if len(losses) > cfg.train.save_every:
+            losses.pop(0)
+        dt = time.time() - t_last
+        t_last = time.time()
+        print(
+            f"step {current_step} loss={loss:.5f} avg={sum(losses)/len(losses):.5f} "
+            f"norm={float(grad_norm):.4f} ({dt:.2f}s)",
+            flush=True,
+        )
+        logger.log({"loss": loss, "total_norm": float(grad_norm)}, step=current_step)
+
+        if current_step % cfg.train.save_every == 0:
+            save_adapter_checkpoint(adapters, opt_state, current_step, project_dir, lora_cfg)
+
+    save_adapter_checkpoint(adapters, opt_state, current_step, project_dir, lora_cfg)
+    print("Merging adapters...")
+    merged = merge_lora(base_params, adapters, lora_cfg)
+    save_safetensors(merged, project_dir / "merged_model.safetensors")
+    logger.close()
+    print("Done.")
+
+
+def parse_args():
+    p = ArgumentParser()
+    p.add_argument("--project-dir", type=str, default="runs/peft")
+    p.add_argument("--dataset-dir", type=str, default="data")
+    p.add_argument("--model-path", type=str, default=None, help="pretrained model.safetensors")
+    p.add_argument("--model-type", type=str, default="diffusion", choices=["diffusion", "rectified-flow"])
+    p.add_argument("--model-dim", type=int, default=512)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--full-sequence", action="store_true")
+    p.add_argument("--random-length", action="store_true")
+    p.add_argument("--dummy-dataset", action="store_true")
+    p.add_argument("--max-length", type=int, default=0)
+    p.add_argument("--segment-length", type=int, default=4096)
+    p.add_argument("--mixed-precision", type=str, default="bf16", choices=["no", "bf16"])
+    p.add_argument("--full-bf16", action="store_true")
+    p.add_argument("--clip-grad-norm", type=float, default=0.0)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--total-steps", type=int, default=100000)
+    p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--warmup-steps", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    # LoRA config (reference defaults: r=32 alpha=32 DoRA on)
+    p.add_argument("--lora-r", type=int, default=32)
+    p.add_argument("--lora-alpha", type=float, default=32.0)
+    p.add_argument("--no-dora", action="store_true")
+    p.add_argument("--rslora", action="store_true")
+    args = p.parse_args()
+
+    if args.dummy_dataset:
+        mode = "dummy"
+    elif args.full_sequence:
+        mode = "full-sequence"
+    elif args.random_length:
+        mode = "random-length"
+    else:
+        mode = "subsequence"
+
+    cfg = Config(
+        model=ModelConfig(
+            dim_h=args.model_dim,
+            dtype="bfloat16" if args.mixed_precision == "bf16" else "float32",
+        ),
+        diffusion=DiffusionConfig(objective=args.model_type),
+        train=TrainConfig(
+            project_dir=args.project_dir,
+            dataset_dir=args.dataset_dir,
+            dataset_mode=mode,
+            max_length=args.max_length,
+            segment_length=args.segment_length,
+            mixed_precision=args.mixed_precision,
+            full_bf16=args.full_bf16,
+            clip_grad_norm=args.clip_grad_norm,
+            lr=args.lr,
+            batch_size=args.batch_size,
+            total_steps=args.total_steps,
+            save_every=args.save_every,
+            warmup_steps=args.warmup_steps,
+            seed=args.seed,
+        ),
+    )
+    lora_cfg = LoraConfig(
+        r=args.lora_r,
+        alpha=args.lora_alpha,
+        use_dora=not args.no_dora,
+        use_rslora=args.rslora,
+    )
+    return cfg, (Path(args.model_path) if args.model_path else None), lora_cfg, args.resume
+
+
+if __name__ == "__main__":
+    cfg, model_path, lora_cfg, resume = parse_args()
+    train(cfg, model_path, lora_cfg, resume)
