@@ -51,6 +51,11 @@ class ModelConfig:
     remat: bool = False
     # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
     attn_backend: str = "auto"
+    # sliding-window local attention with window = the level's context length.
+    # Training crops (<= 4096 frames) are unaffected — the window covers them
+    # entirely; at full-song lengths this bounds attention to the trained
+    # context and drops FLOPs from O(T^2) to O(T*window) (SURVEY.md sec 5.7).
+    attn_local: bool = True
 
     @property
     def compute_dtype(self):

@@ -249,6 +249,7 @@ class Attention(nn.Module):
     kv_heads: int = 1
     context_len: int = 4096
     backend: str = "auto"
+    local: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -277,7 +278,8 @@ class Attention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        out = sdpa(q, k, v, backend=self.backend).reshape(B, T, self.heads * self.dim_head)
+        window = self.context_len if self.local else None
+        out = sdpa(q, k, v, backend=self.backend, window=window).reshape(B, T, self.heads * self.dim_head)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(out)
         return x + out
 
@@ -308,6 +310,7 @@ class TransformerBlock(nn.Module):
     attn_kv_heads: int = 1
     attn_context_len: int = 4096
     attn_backend: str = "auto"
+    attn_local: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -319,6 +322,7 @@ class TransformerBlock(nn.Module):
             kv_heads=self.attn_kv_heads,
             context_len=self.attn_context_len,
             backend=self.attn_backend,
+            local=self.attn_local,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="attn",

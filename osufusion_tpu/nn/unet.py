@@ -59,6 +59,7 @@ class UNetBlock(nn.Module):
     attn_kv_heads: int
     attn_context_len: int
     attn_backend: str = "auto"
+    attn_local: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -81,6 +82,7 @@ class UNetBlock(nn.Module):
                 attn_kv_heads=self.attn_kv_heads,
                 attn_context_len=self.attn_context_len,
                 attn_backend=self.attn_backend,
+                attn_local=self.attn_local,
                 **common,
                 name=f"transformer_{i}",
             )(x)
@@ -123,6 +125,7 @@ class AudioEncoder(nn.Module):
                 attn_kv_heads=cfg.attn_kv_heads,
                 attn_context_len=cfg.attn_context_len // (2**i),
                 attn_backend=cfg.attn_backend,
+                attn_local=cfg.attn_local,
                 **common,
                 name=f"layer_{i}",
             )(x, None, None)
@@ -165,6 +168,7 @@ class UNet(nn.Module):
                 attn_kv_heads=cfg.attn_kv_heads,
                 attn_context_len=cfg.attn_context_len // (2**i),
                 attn_backend=cfg.attn_backend,
+                attn_local=cfg.attn_local,
                 **common,
                 name=f"down_{i}",
             )
@@ -181,6 +185,7 @@ class UNet(nn.Module):
                 attn_kv_heads=cfg.attn_kv_heads,
                 attn_context_len=bottleneck_ctx,
                 attn_backend=cfg.attn_backend,
+                attn_local=cfg.attn_local,
                 **common,
                 name=f"middle_transformer_{i}",
             )
@@ -204,6 +209,7 @@ class UNet(nn.Module):
                 attn_kv_heads=cfg.attn_kv_heads,
                 attn_context_len=cfg.attn_context_len // (2 ** (n_layers - i - 1)),
                 attn_backend=cfg.attn_backend,
+                attn_local=cfg.attn_local,
                 **common,
                 name=f"up_{i}",
             )

@@ -29,26 +29,35 @@ def on_tpu() -> bool:
         return False
 
 
-def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    backend: str = "auto",
+    window: int | None = None,
+) -> jnp.ndarray:
     """Dispatch: Pallas flash kernel on TPU for tileable shapes, XLA einsum
-    otherwise. q (B, T, H, D); k/v (B, S, Kv, D)."""
+    otherwise. q (B, T, H, D); k/v (B, S, Kv, D). ``window`` (tokens) enables
+    sliding-window local attention: each query sees keys within +/- window/2."""
     from osufusion_tpu.ops.pallas_attention import flash_attention, flash_attention_available
 
     B, T, H, D = q.shape
     S = k.shape[1]
     use_flash = backend == "pallas" or (backend == "auto" and on_tpu() and flash_attention_available(T, S, D))
     if use_flash:
-        return flash_attention(q, k, v)
-    return gqa_attention(q, k, v)
+        return flash_attention(q, k, v, window=window)
+    return gqa_attention(q, k, v, window=window)
 
 
 def gqa_attention(
     q: jnp.ndarray,  # (B, T, H, D)
     k: jnp.ndarray,  # (B, S, Kv, D)
     v: jnp.ndarray,  # (B, S, Kv, D)
+    window: int | None = None,
 ) -> jnp.ndarray:
     """Grouped-query scaled-dot-product attention. Returns (B, T, H, D)."""
     B, T, H, D = q.shape
+    S = k.shape[1]
     Kv = k.shape[2]
     assert H % Kv == 0, f"heads {H} not divisible by kv_heads {Kv}"
     G = H // Kv
@@ -59,6 +68,11 @@ def gqa_attention(
     # logits in fp32 for a stable softmax
     logits = jnp.einsum("btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32)
     logits = logits * scale
+    if window is not None and window // 2 < S - 1:
+        rows = jnp.arange(T)[:, None]
+        cols = jnp.arange(S)[None, :]
+        mask = jnp.abs(rows - cols) <= window // 2
+        logits = jnp.where(mask[None, None, None], logits, -1e30)
     probs = jnp.exp(logits - logits.max(axis=-1, keepdims=True))
     probs = probs / probs.sum(axis=-1, keepdims=True)
 

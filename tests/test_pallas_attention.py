@@ -55,6 +55,46 @@ def test_flash_backward_matches_naive():
         )
 
 
+def test_local_window_forward_matches_naive():
+    """Sliding-window flash vs masked einsum reference."""
+    q, k, v = make_qkv(B=1, T=1024, H=2, Kv=1)
+    window = 256
+    with pltpu.force_tpu_interpret_mode():
+        out_flash = pa.flash_attention(q, k, v, window=window)
+    out_naive = gqa_attention(q, k, v, window=window)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_naive), atol=2e-5, rtol=2e-5)
+    # and the window genuinely changes the result vs global
+    out_global = gqa_attention(q, k, v)
+    assert not np.allclose(np.asarray(out_naive), np.asarray(out_global), atol=1e-3)
+
+
+def test_local_window_backward_matches_naive():
+    q, k, v = make_qkv(B=1, T=512, H=2, Kv=1)
+    window = 256
+
+    def loss_flash(q, k, v):
+        return (pa.flash_attention(q, k, v, window=window) * 0.01).sum()
+
+    def loss_naive(q, k, v):
+        return (gqa_attention(q, k, v, window=window) * 0.01).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for gf, gn, name in zip(g_flash, g_naive, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gn), atol=5e-5, rtol=5e-4, err_msg=f"d{name} mismatch"
+        )
+
+
+def test_window_covering_sequence_equals_global():
+    q, k, v = make_qkv(B=1, T=256, H=2, Kv=1)
+    with pltpu.force_tpu_interpret_mode():
+        out_windowed = pa.flash_attention(q, k, v, window=4096)
+    out_global = gqa_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_windowed), np.asarray(out_global), atol=2e-5, rtol=2e-5)
+
+
 def test_block_picker_and_availability():
     assert pa._pick_block(4096, 512) == 512
     assert pa._pick_block(8320, 512) == 128  # 65x128: full-song deepest level
