@@ -1,11 +1,18 @@
-"""Benchmark: denoiser train-step MFU on one TPU chip.
+"""Benchmark entry point. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.md): >= 40% MFU for the bf16 training step.
-FLOPs come from XLA's own cost analysis of the compiled step; peak is the
-chip's bf16 rating (v5e: 197 TFLOP/s).
+Default mode (BENCH_MODE=gen): full-song generation latency — 50-step DDIM
+with CFG on a 3-minute song at the reference's inference width (dim_h=128),
+single chip. Target (BASELINE.md): < 10 s/map; vs_baseline = 10 / latency so
+>1.0 beats the target.
 
-Env overrides: BENCH_DIM_H, BENCH_BATCH, BENCH_SEQ, BENCH_STEPS.
+BENCH_MODE=train: training-step throughput (steps/s and per-step wall time)
+for the bf16 UNet at the given size.
+
+Notes on methodology: this environment reaches the TPU through a network
+tunnel with ~25-30 ms round-trip latency and a result cache for repeated
+identical calls — timings therefore vary the inputs every call and use a
+host read for synchronization.
 """
 
 from __future__ import annotations
@@ -16,25 +23,68 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-PEAK_BF16_TFLOPS = {
-    "v5 lite": 197.0,
-    "v5e": 197.0,
-    "v5p": 459.0,
-    "v4": 275.0,
-    "v6": 918.0,
-}
+from osufusion_tpu.utils.cache import enable_compilation_cache
 
 
-def chip_peak_tflops() -> float:
-    kind = jax.devices()[0].device_kind.lower()
-    for key, val in PEAK_BF16_TFLOPS.items():
-        if key in kind:
-            return val
-    return 197.0
+def bench_generation() -> dict:
+    from osufusion_tpu.audio.constants import SR, HOP_LENGTH
+    from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig
+    from osufusion_tpu.models import build_model
+    from osufusion_tpu.serve.generate import LENGTH_BUCKET
+
+    dim_h = int(os.environ.get("BENCH_DIM_H", 128))
+    song_seconds = float(os.environ.get("BENCH_SONG_SECONDS", 180.0))
+    steps = int(os.environ.get("BENCH_STEPS", 50))
+    cfg_scale = float(os.environ.get("BENCH_CFG", 2.0))
+
+    n_frames = int(song_seconds * SR / HOP_LENGTH)
+    padded = ((n_frames + LENGTH_BUCKET - 1) // LENGTH_BUCKET) * LENGTH_BUCKET
+
+    cfg = Config(model=ModelConfig(dim_h=dim_h, dtype="bfloat16"), diffusion=DiffusionConfig())
+    model = build_model(cfg.model, cfg.diffusion)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(-10, 3, (1, 96, padded)).astype(np.float32))
+    c = jnp.asarray(rng.uniform(-1, 1, (1, 5)).astype(np.float32))
+
+    def run(seed: int) -> np.ndarray:
+        x0 = jax.random.normal(jax.random.PRNGKey(seed), (1, 6, padded))
+        out = model.sample(params, a, c, x=x0, cond_scale=cfg_scale, sampling_timesteps=steps)
+        return np.asarray(out)  # host read = sync
+
+    t0 = time.perf_counter()
+    run(0)  # compile + warmup
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for seed in range(1, 3):
+        t0 = time.perf_counter()
+        out = run(seed)
+        times.append(time.perf_counter() - t0)
+    latency = min(times)
+    assert np.isfinite(out).all()
+
+    return {
+        "metric": "fullsong_gen_latency_ddim50_cfg",
+        "value": round(latency, 3),
+        "unit": "s/map",
+        "vs_baseline": round(10.0 / latency, 3),
+        "detail": {
+            "song_seconds": song_seconds,
+            "frames": padded,
+            "dim_h": dim_h,
+            "steps": steps,
+            "cfg_scale": cfg_scale,
+            "compile_s": round(compile_s, 1),
+            "device": jax.devices()[0].device_kind,
+        },
+    }
 
 
-def main() -> None:
+def bench_train() -> dict:
     from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
     from osufusion_tpu.models import build_model
     from osufusion_tpu.parallel import make_mesh
@@ -52,76 +102,54 @@ def main() -> None:
     )
     mesh = make_mesh(data=1, model=1)
     model = build_model(cfg.model, cfg.diffusion)
-
-    state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=256)
+    state = init_state(model, cfg, jax.random.PRNGKey(0))
     state, _ = shard_state(state, mesh)
     step_fn = make_train_step(model, cfg, mesh)
 
     rng = jax.random.PRNGKey(1)
     kx, ka, kc = jax.random.split(rng, 3)
-    batch_data = (
-        jax.random.uniform(kx, (batch, 6, seq), minval=-1, maxval=1),
-        jax.random.normal(ka, (batch, 96, seq)) - 10.0,
-        jax.random.uniform(kc, (batch, 5), minval=-1, maxval=1),
-        jnp.full((batch,), seq, dtype=jnp.int32),
+    batch_data = jax.device_put(
+        (
+            jax.random.uniform(kx, (batch, 6, seq), minval=-1, maxval=1),
+            jax.random.normal(ka, (batch, 96, seq)) - 10.0,
+            jax.random.uniform(kc, (batch, 5), minval=-1, maxval=1),
+            jnp.full((batch,), seq, dtype=jnp.int32),
+        )
     )
-    batch_data = jax.device_put(batch_data)
 
-    # compile + FLOP count
-    lowered = step_fn.lower(state, batch_data)
-    compiled = lowered.compile()
-    flops = None
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) or None
-    except Exception:
-        flops = None
-
-    # warmup (donated state: keep threading it through)
+    t0 = time.perf_counter()
     state, metrics = step_fn(state, batch_data)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(steps):
+        # donated state changes every call: no result-cache aliasing
         state, metrics = step_fn(state, batch_data)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / steps
 
-    steps_per_sec = 1.0 / dt
-    if flops:
-        mfu = flops / dt / (chip_peak_tflops() * 1e12) * 100.0
-        print(
-            json.dumps(
-                {
-                    "metric": "train_step_mfu_bf16",
-                    "value": round(mfu, 2),
-                    "unit": "percent_of_peak",
-                    "vs_baseline": round(mfu / 40.0, 3),
-                    "detail": {
-                        "steps_per_sec": round(steps_per_sec, 3),
-                        "dim_h": dim_h,
-                        "batch": batch,
-                        "seq": seq,
-                        "flops_per_step": flops,
-                        "device": jax.devices()[0].device_kind,
-                    },
-                }
-            )
-        )
-    else:
-        print(
-            json.dumps(
-                {
-                    "metric": "train_steps_per_sec",
-                    "value": round(steps_per_sec, 3),
-                    "unit": "steps/s",
-                    "vs_baseline": 1.0,
-                    "detail": {"dim_h": dim_h, "batch": batch, "seq": seq},
-                }
-            )
-        )
+    return {
+        "metric": "train_step_time_bf16",
+        "value": round(dt, 4),
+        "unit": "s/step",
+        "vs_baseline": 1.0,
+        "detail": {
+            "steps_per_sec": round(1.0 / dt, 3),
+            "dim_h": dim_h,
+            "batch": batch,
+            "seq": seq,
+            "compile_s": round(compile_s, 1),
+            "device": jax.devices()[0].device_kind,
+        },
+    }
+
+
+def main() -> None:
+    enable_compilation_cache()
+    mode = os.environ.get("BENCH_MODE", "gen")
+    result = bench_generation() if mode == "gen" else bench_train()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

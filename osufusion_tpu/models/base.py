@@ -72,12 +72,32 @@ class GenerativeModel:
             return self.unet.apply(params, a_cl, method=UNet.encode_audio)
         return a_cl
 
-    def init_params(self, rng: jax.Array, seq_len: int = 256, batch: int = 1):
+    def init_params(self, rng: jax.Array, seq_len: int = 32, batch: int = 1):
+        # parameters do not depend on sequence length: a 32-frame dummy keeps
+        # the (single-core host) init forward negligible
         x = jnp.zeros((batch, seq_len, self.model_cfg.dim_in_x))
         a = jnp.zeros((batch, seq_len, self.model_cfg.dim_in_a))
         t = jnp.zeros((batch,))
         c = jnp.zeros((batch, self.model_cfg.dim_in_c))
-        return self.unet.init(rng, x, a, t, c, jnp.ones((batch,), dtype=bool))
+        mask = jnp.ones((batch,), dtype=bool)
+        # init on the host CPU backend: unjitted init dispatches hundreds of
+        # tiny ops, which is pathological over a remote-device link, and init
+        # math is trivial; jit makes it one program either way
+        from osufusion_tpu.ops.attention import force_xla_attention
+
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        with force_xla_attention():
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    params = jax.jit(self.unet.init, backend="cpu")(rng, x, a, t, c, mask)
+                default = jax.devices()[0]
+                if default != cpu:
+                    params = jax.device_put(params, default)
+                return params
+            return jax.jit(self.unet.init)(rng, x, a, t, c, mask)
 
     def encode_audio(self, params, a_cf: jnp.ndarray) -> jnp.ndarray:
         """(B, 96, N) -> reusable audio features (channel-last)."""

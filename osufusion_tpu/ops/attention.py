@@ -15,10 +15,25 @@ flash-kernel selection and repeats KV heads to full MHA before the kernel
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 
 import jax
 import jax.numpy as jnp
+
+_FORCE_XLA = contextvars.ContextVar("osufusion_force_xla_attention", default=False)
+
+
+@contextlib.contextmanager
+def force_xla_attention():
+    """Trace-time escape hatch: use the XLA einsum path regardless of backend
+    (e.g. when tracing for the host CPU, where the TPU kernel can't lower)."""
+    token = _FORCE_XLA.set(True)
+    try:
+        yield
+    finally:
+        _FORCE_XLA.reset(token)
 
 
 @functools.lru_cache(maxsize=1)
@@ -43,6 +58,8 @@ def sdpa(
 
     B, T, H, D = q.shape
     S = k.shape[1]
+    if _FORCE_XLA.get():
+        return gqa_attention(q, k, v, window=window)
     use_flash = backend == "pallas" or (backend == "auto" and on_tpu() and flash_attention_available(T, S, D))
     if use_flash:
         return flash_attention(q, k, v, window=window)

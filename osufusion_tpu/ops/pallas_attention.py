@@ -377,6 +377,10 @@ def flash_attention(
     assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
     if window is not None and window // 2 >= S - 1:
         window = None  # window covers everything: run the global path
+    if window is not None:
+        # the local-window block arithmetic (virtual = i - wb + j) indexes q
+        # and kv blocks on the same grid: equal block sizes keep it exact
+        bk = bq
 
     scale = D**-0.5
     qh = jnp.swapaxes(q, 1, 2)  # (B, H, T, D)

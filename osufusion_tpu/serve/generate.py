@@ -39,7 +39,7 @@ def load_model(model_path: Path, config_path: Optional[Path] = None):
         config_path = candidate if candidate.exists() else None
     cfg = Config.load(config_path) if config_path else Config(model=ModelConfig(dim_h=128))
     model = build_model(cfg.model, cfg.diffusion)
-    params_like = model.init_params(jax.random.PRNGKey(0), seq_len=256)
+    params_like = model.init_params(jax.random.PRNGKey(0))
     loaded = load_safetensors(model_path)
     params = jax.tree.map(lambda ref, new: jnp.asarray(new, ref.dtype), params_like, loaded)
     return model, params

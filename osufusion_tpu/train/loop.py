@@ -60,7 +60,7 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return tx
 
 
-def init_state(model: GenerativeModel, cfg: Config, rng: jax.Array, seq_len: int = 256) -> TrainState:
+def init_state(model: GenerativeModel, cfg: Config, rng: jax.Array, seq_len: int = 32) -> TrainState:
     params = model.init_params(rng, seq_len=seq_len)
     if cfg.train.full_bf16:
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)

@@ -82,7 +82,7 @@ def train(cfg: Config) -> None:
     print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
 
     model = build_model(cfg.model, cfg.diffusion)
-    state = init_state(model, cfg, jax.random.PRNGKey(cfg.train.seed), seq_len=min(cfg.train.segment_length, 4096))
+    state = init_state(model, cfg, jax.random.PRNGKey(cfg.train.seed))
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"model: {cfg.diffusion.objective} dim_h={cfg.model.dim_h} ({n_params/1e6:.1f}M params)")
     state, _ = shard_state(state, mesh)

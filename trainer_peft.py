@@ -82,7 +82,7 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
     project_dir.mkdir(parents=True, exist_ok=True)
 
     model = build_model(cfg.model, cfg.diffusion)
-    base_params = model.init_params(jax.random.PRNGKey(cfg.train.seed), seq_len=256)
+    base_params = model.init_params(jax.random.PRNGKey(cfg.train.seed))
     if model_path is not None:
         print(f"loading pretrained weights from {model_path}")
         loaded = load_safetensors(model_path)
