@@ -56,15 +56,20 @@ def _choose_blocks(t: int, s: int, group: int) -> tuple[int, int]:
 
 
 def _kv_span_blocks(window: Optional[int], block_q: int, block_k: int, nk: int) -> tuple[int, int]:
-    """(wb, n_visit): KV-block backoff and number of visited blocks per q block.
+    """(wb_left, n_visit) for visiting target blocks of size ``block_k``
+    intersecting a source block of size ``block_q``'s +/- window/2 span.
 
-    The visit span is always 2*wb+1 centered on the diagonal; out-of-range
-    visits are masked off inside the kernel.
+    Visit j maps to target block ``(i * block_q) // block_k - wb_left + j``;
+    out-of-range visits are masked off inside the kernel. Handles unequal
+    block sizes (the folded q blocks shrink with the GQA group while KV
+    blocks stay MXU-wide).
     """
     if window is None:
         return nk, nk
-    wb = (window // 2 + block_q - 1) // block_k + 1
-    return wb, 2 * wb + 1
+    w2 = window // 2
+    wb_left = w2 // block_k + 1
+    wb_right = (block_q - 1 + w2) // block_k + 1
+    return wb_left, wb_left + wb_right + 1
 
 
 def _fold(x: jnp.ndarray, group: int, bq: int) -> jnp.ndarray:
@@ -109,7 +114,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    virtual = i - wb + j if window is not None else j
+    virtual = (i * bq) // bk - wb + j if window is not None else j
     valid = jnp.logical_and(virtual >= 0, virtual < nk) if window is not None else (j >= 0)
 
     @pl.when(valid)
@@ -153,7 +158,7 @@ def _flash_fwd(qf, k, v, scale, group, bq, bk, window):
 
     def kv_index(b, g, i, j):
         if local:
-            return (b, g, jnp.clip(i - wb + j, 0, nk - 1), 0)
+            return (b, g, jnp.clip((i * bq) // bk - wb + j, 0, nk - 1), 0)
         return (b, g, j, 0)
 
     kernel = functools.partial(_fwd_kernel, scale=scale, bq=bq, bk=bk, nk=nk, wb=wb, window=window)
@@ -195,7 +200,7 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, 
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    virtual = i - wb + j if window is not None else j
+    virtual = (i * bq) // bk - wb + j if window is not None else j
     valid = jnp.logical_and(virtual >= 0, virtual < nk) if window is not None else (j >= 0)
 
     @pl.when(valid)
@@ -236,7 +241,7 @@ def _dkv_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    virtual = jk - wb + ii if window is not None else ii
+    virtual = (jk * bk) // bq - wb + ii if window is not None else ii
     valid = jnp.logical_and(virtual >= 0, virtual < nq) if window is not None else (ii >= 0)
 
     @pl.when(valid)
@@ -277,14 +282,14 @@ def _flash_bwd(scale, group, bq, bk, window, res, g):
     nq = QR // rows
     nk = S // bk
     wb, n_visit_k = _kv_span_blocks(window, bq, bk, nk)
-    _, n_visit_q = _kv_span_blocks(window, bk, bq, nq)
+    wb_q, n_visit_q = _kv_span_blocks(window, bk, bq, nq)
     local = window is not None
 
     delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True)
 
     def kv_index(b, g_, i, j):
         if local:
-            return (b, g_, jnp.clip(i - wb + j, 0, nk - 1), 0)
+            return (b, g_, jnp.clip((i * bq) // bk - wb + j, 0, nk - 1), 0)
         return (b, g_, j, 0)
 
     dq = pl.pallas_call(
@@ -305,11 +310,11 @@ def _flash_bwd(scale, group, bq, bk, window, res, g):
 
     def q_index(b, g_, jk, ii):
         if local:
-            return (b, g_, jnp.clip(jk - wb + ii, 0, nq - 1), 0)
+            return (b, g_, jnp.clip((jk * bk) // bq - wb_q + ii, 0, nq - 1), 0)
         return (b, g_, ii, 0)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, bq=bq, bk=bk, nq=nq, wb=wb, window=window),
+        functools.partial(_dkv_kernel, scale=scale, bq=bq, bk=bk, nq=nq, wb=wb_q, window=window),
         grid=(B, Kv, nk, n_visit_q),
         in_specs=[
             pl.BlockSpec((1, 1, rows, D), q_index),
@@ -377,10 +382,6 @@ def flash_attention(
     assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
     if window is not None and window // 2 >= S - 1:
         window = None  # window covers everything: run the global path
-    if window is not None:
-        # the local-window block arithmetic (virtual = i - wb + j) indexes q
-        # and kv blocks on the same grid: equal block sizes keep it exact
-        bk = bq
 
     scale = D**-0.5
     qh = jnp.swapaxes(q, 1, 2)  # (B, H, T, D)

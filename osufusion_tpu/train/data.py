@@ -50,6 +50,33 @@ def flip_cursor_vertical(x: np.ndarray) -> np.ndarray:
     return x
 
 
+def get_new_context(x: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Re-rate a cropped segment: decode it to .osu text and recompute star
+    rating for the conditioning vector (reference dataset.py:40-69). Uses the
+    C++ difficulty core when built, Python otherwise."""
+    import tempfile
+
+    from osufusion_tpu.audio.constants import frame_times, normalize_context, unnormalize_context
+    from osufusion_tpu.codec.decode import Metadata, decode_beatmap
+    from osufusion_tpu.native import calculate_star_rating as native_sr
+    from osufusion_tpu.osu.beatmap import Beatmap
+
+    cs, ar, od, hp, _ = unnormalize_context(c).tolist()
+    ft = frame_times(x.shape[-1])
+    meta = Metadata("", "Dummy", "Dummy", "OsuFusion", cs, ar, od, hp)
+    segment_osu = decode_beatmap(meta, x, ft, bpm=None, allow_beat_snap=False, verbose=False)
+
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "segment.osu"
+        p.write_text(segment_osu, encoding="utf-8")
+        try:
+            sr = native_sr(Beatmap(p))  # falls back to Python when not built
+        except ValueError:
+            sr = 0.0
+
+    return normalize_context(np.array([cs, ar, od, hp, min(max(sr, 0.0), 20.0)], dtype=np.float32))
+
+
 def load_tensor(map_file: Path) -> Sample:
     """npz shard -> float32 arrays with NaN quarantine (reference dataset.py:25-37)."""
     map_data = np.load(map_file)
@@ -84,6 +111,7 @@ class StreamDataset:
         self,
         dataset: Sequence[Path],
         sample_density: float = 1.0,
+        segment_sr: bool = False,
         flip_horizontal_prob: float = 0.5,
         flip_vertical_prob: float = 0.5,
         seed: int = 0,
@@ -92,6 +120,7 @@ class StreamDataset:
             raise ValueError("sample_density must be between 0 and 1")
         self.dataset = list(dataset)
         self.sample_density = sample_density
+        self.segment_sr = segment_sr
         self.flip_horizontal_prob = flip_horizontal_prob
         self.flip_vertical_prob = flip_vertical_prob
         self.rng = random.Random(seed)
@@ -103,6 +132,8 @@ class StreamDataset:
         order = self.rng.sample(self.dataset, int(len(self.dataset) * self.sample_density))
         for map_file in order:
             for x, a, c in self.sample_stream(map_file):
+                if self.segment_sr:
+                    c = get_new_context(x, c)
                 if self.rng.random() < self.flip_horizontal_prob:
                     x = flip_cursor_horizontal(x)
                 if self.rng.random() < self.flip_vertical_prob:

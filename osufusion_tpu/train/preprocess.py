@@ -23,8 +23,8 @@ import numpy as np
 
 from osufusion_tpu.audio import frame_times, load_audio, normalize_context
 from osufusion_tpu.codec.encode import encode_beatmap
+from osufusion_tpu.native import calculate_star_rating  # C++ core, Python fallback
 from osufusion_tpu.osu.beatmap import Beatmap
-from osufusion_tpu.osu.difficulty import calculate_star_rating
 
 
 def get_audio_spec(beatmap: Beatmap, spec_path: Path) -> Optional[np.ndarray]:

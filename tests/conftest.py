@@ -17,3 +17,7 @@ try:  # drop any backend already materialized by the site hook
     jax.extend.backend.clear_backends()
 except Exception:
     pass
+
+from osufusion_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

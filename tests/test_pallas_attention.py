@@ -95,6 +95,38 @@ def test_window_covering_sequence_equals_global():
     np.testing.assert_allclose(np.asarray(out_windowed), np.asarray(out_global), atol=2e-5, rtol=2e-5)
 
 
+def test_local_window_unequal_blocks_matches_naive():
+    """16-head MQA folds to bq=128 while bk stays 512: the window centering
+    must hold with unequal block sizes (regression: mis-centered windows
+    zeroed whole rows at full-song lengths)."""
+    q, k, v = make_qkv(B=1, T=512, H=16, Kv=1)
+    window = 128
+    assert pa._choose_blocks(512, 512, 16) == (128, 512)
+    with pltpu.force_tpu_interpret_mode():
+        out_flash = pa.flash_attention(q, k, v, window=window)
+    out_naive = gqa_attention(q, k, v, window=window)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_naive), atol=2e-5, rtol=2e-5)
+
+
+def test_local_window_unequal_blocks_backward():
+    q, k, v = make_qkv(B=1, T=512, H=8, Kv=1)
+    window = 128
+
+    def loss_flash(q, k, v):
+        return (pa.flash_attention(q, k, v, window=window) * 0.01).sum()
+
+    def loss_naive(q, k, v):
+        return (gqa_attention(q, k, v, window=window) * 0.01).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for gf, gn, name in zip(g_flash, g_naive, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gn), atol=5e-5, rtol=5e-4, err_msg=f"d{name} mismatch"
+        )
+
+
 def test_block_picker_and_availability():
     assert pa._pick_block(4096, 512) == 512
     assert pa._pick_block(8320, 512) == 128  # 65x128: full-song deepest level

@@ -200,3 +200,21 @@ def test_filter_dataset(tmp_path):
         )
     kept = D.filter_dataset(sorted(tmp_path.glob("*.map.npz")), max_length=1000)
     assert [p.stem for p in kept] == ["short.map"]
+
+
+def test_segment_sr_recomputes_conditioning(tmp_path):
+    """segment_sr re-rates the crop via decode + difficulty (reference
+    dataset.py:40-69): the 5th conditioning scalar changes, first four stay."""
+    from osufusion_tpu.audio.constants import normalize_context
+    from osufusion_tpu.codec.encode import encode_beatmap
+    from osufusion_tpu.audio.constants import frame_times
+    from osufusion_tpu.osu import Beatmap
+    from tests.helpers import write_synthetic_map
+
+    bm = Beatmap(write_synthetic_map(tmp_path))
+    x = encode_beatmap(bm, frame_times(1600))
+    c = normalize_context(np.array([4.0, 8.0, 6.0, 5.0, 9.9], dtype=np.float32))
+    c2 = D.get_new_context(x, c)
+    np.testing.assert_allclose(c2[:4], c[:4], atol=1e-5)
+    assert c2[4] != c[4]  # the fake 9.9-star rating was replaced
+    assert -1.0 <= c2[4] <= 1.0
