@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from osufusion_tpu.ops.attention import sdpa
 from osufusion_tpu.ops.rope import apply_rope, rope_tables
+from osufusion_tpu.utils.profiling import named_scope
 
 Dtype = jnp.dtype
 
@@ -255,6 +256,10 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        with named_scope("Attention"):
+            return self._attend(x)
+
+    def _attend(self, x: jnp.ndarray) -> jnp.ndarray:
         B, T, C = x.shape
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)(x)
 

@@ -67,8 +67,10 @@ def _kv_span_blocks(window: Optional[int], block_q: int, block_k: int, nk: int) 
     if window is None:
         return nk, nk
     w2 = window // 2
-    wb_left = w2 // block_k + 1
-    wb_right = (block_q - 1 + w2) // block_k + 1
+    wb_left = (w2 + block_k - 1) // block_k
+    # source block start can sit anywhere inside a target block, so the right
+    # reach is bounded by (block_k-1) + (block_q-1) + w2 target-relative cols
+    wb_right = (block_k - 1 + block_q - 1 + w2) // block_k
     return wb_left, wb_left + wb_right + 1
 
 
@@ -126,24 +128,24 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = _masked(s * scale, i * bq, virtual * bk, window, bq)
 
-        m_prev = m_ref[:, :1]
+        m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
         correction = jnp.exp(m_prev - m_new)
-        l_new = correction * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        l_new = correction * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
 
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         acc_ref[:] = acc_ref[:] * correction + pv
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        m_ref[:] = m_new
+        l_ref[:] = l_new
 
     @pl.when(j == n_visit - 1)
     def _finalize():
-        l = l_ref[:, :1]
+        l = l_ref[:]
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_ref[:, :1] + jnp.log(l)
+        lse_ref[0, 0] = m_ref[:] + jnp.log(l)
 
 
 def _flash_fwd(qf, k, v, scale, group, bq, bk, window):
@@ -181,8 +183,8 @@ def _flash_fwd(qf, k, v, scale, group, bq, bk, window):
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, D), jnp.float32),
-            pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
         ],
     )(qf, k, v)
     return o, lse

@@ -134,3 +134,16 @@ def test_block_picker_and_availability():
     assert pa.flash_attention_available(4096, 4096, 64)
     assert not pa.flash_attention_available(100, 100, 64)
     assert not pa.flash_attention_available(4096, 4096, 48)
+
+
+def test_small_window_unequal_blocks_matches_naive():
+    """Small window with bq < bk (the UNet bottleneck geometry: window 512,
+    folded bq=128, bk=512): right-reach bound must cover the next kv block."""
+    q, k, v = make_qkv(B=1, T=1024, H=16, Kv=1)
+    for window in (256, 512):
+        with pltpu.force_tpu_interpret_mode():
+            out_flash = pa.flash_attention(q, k, v, window=window)
+        out_naive = gqa_attention(q, k, v, window=window)
+        np.testing.assert_allclose(
+            np.asarray(out_flash), np.asarray(out_naive), atol=2e-5, rtol=2e-5, err_msg=f"window={window}"
+        )
