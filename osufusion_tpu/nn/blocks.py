@@ -64,8 +64,12 @@ class CondEmbedding(nn.Module):
 
 class CrossEmbedLayer(nn.Module):
     """Multi-kernel parallel conv stem with halving channel split
-    (reference unet.py:42-58): kernels (3, 7, 15) produce dim/2, dim/4,
-    dim - (dim/2 + dim/4) channels, concatenated."""
+    (reference unet.py:42-58). NOTE the reference splits the per-kernel
+    channel widths by the INPUT dim (``dim_scales = dim_in / 2**i``), not the
+    output dim as upstream imagen does — e.g. the 6-channel signal stem gives
+    (3, 1, dim_h-4) and the 96-bin audio stem gives (48, 24, dim_h-72).
+    Replicated exactly for weight-level parity (it also means dim_h must
+    exceed 72 for the audio stem, matching the reference's constraint)."""
 
     dim_out: int
     kernel_sizes: Sequence[int] = (3, 7, 15)
@@ -76,8 +80,13 @@ class CrossEmbedLayer(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kernel_sizes = sorted(self.kernel_sizes)
         num_scales = len(kernel_sizes)
-        dim_scales = [self.dim_out // (2**i) for i in range(1, num_scales)]
+        dim_in = x.shape[-1]
+        dim_scales = [dim_in // (2**i) for i in range(1, num_scales)]
         dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
+        assert dim_scales[-1] > 0, (
+            f"CrossEmbedLayer needs dim_out > {sum(dim_scales[:-1])} for dim_in={dim_in} "
+            f"(the reference's input-dim channel split)"
+        )
 
         outs = []
         for kernel, dim_scale in zip(kernel_sizes, dim_scales):

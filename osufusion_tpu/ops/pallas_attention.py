@@ -145,7 +145,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
     def _finalize():
         l = l_ref[:]
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_ref[:] + jnp.log(l)
+        # lse stored lane-packed: (rows, 1) -> (rows//128, 128) avoids the
+        # 128x lane padding a trailing dim of 1 costs in HBM
+        lse_ref[0, 0] = (m_ref[:] + jnp.log(l)).reshape(lse_ref.shape[2:])
 
 
 def _flash_fwd(qf, k, v, scale, group, bq, bk, window):
@@ -175,11 +177,11 @@ def _flash_fwd(qf, k, v, scale, group, bq, bk, window):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, rows, D), lambda b, g, i, j: (b, g, i, 0)),
-            pl.BlockSpec((1, 1, rows, 1), lambda b, g, i, j: (b, g, i, 0)),
+            pl.BlockSpec((1, 1, rows // 128, 128), lambda b, g, i, j: (b, g, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Kv, QR, D), qf.dtype),
-            jax.ShapeDtypeStruct((B, Kv, QR, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Kv, QR // 128, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, D), jnp.float32),
@@ -211,8 +213,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, 
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0]  # (rows, 1)
-        delta = delta_ref[0, 0]
+        lse = lse_ref[0, 0].reshape(-1, 1)  # lane-packed -> (rows, 1)
+        delta = delta_ref[0, 0].reshape(-1, 1)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         s = _masked(s, i * bq, virtual * bk, window, bq)
@@ -252,8 +254,8 @@ def _dkv_kernel(
         k = k_ref[0, 0]  # (bk, D)
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0]
-        delta = delta_ref[0, 0]
+        lse = lse_ref[0, 0].reshape(-1, 1)
+        delta = delta_ref[0, 0].reshape(-1, 1)
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         s = _masked(s, virtual * bq, jk * bk, window, bq)
@@ -287,7 +289,7 @@ def _flash_bwd(scale, group, bq, bk, window, res, g):
     wb_q, n_visit_q = _kv_span_blocks(window, bk, bq, nq)
     local = window is not None
 
-    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True)
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1).reshape(B, Kv, QR // 128, 128)
 
     def kv_index(b, g_, i, j):
         if local:
@@ -302,8 +304,8 @@ def _flash_bwd(scale, group, bq, bk, window, res, g):
             pl.BlockSpec((1, 1, bk, D), kv_index),
             pl.BlockSpec((1, 1, bk, D), kv_index),
             pl.BlockSpec((1, 1, rows, D), lambda b, g_, i, j: (b, g_, i, 0)),
-            pl.BlockSpec((1, 1, rows, 1), lambda b, g_, i, j: (b, g_, i, 0)),
-            pl.BlockSpec((1, 1, rows, 1), lambda b, g_, i, j: (b, g_, i, 0)),
+            pl.BlockSpec((1, 1, rows // 128, 128), lambda b, g_, i, j: (b, g_, i, 0)),
+            pl.BlockSpec((1, 1, rows // 128, 128), lambda b, g_, i, j: (b, g_, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, rows, D), lambda b, g_, i, j: (b, g_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Kv, QR, D), qf.dtype),
@@ -323,8 +325,8 @@ def _flash_bwd(scale, group, bq, bk, window, res, g):
             pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),
             pl.BlockSpec((1, 1, rows, D), q_index),
-            pl.BlockSpec((1, 1, rows, 1), q_index),
-            pl.BlockSpec((1, 1, rows, 1), q_index),
+            pl.BlockSpec((1, 1, rows // 128, 128), q_index),
+            pl.BlockSpec((1, 1, rows // 128, 128), q_index),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),

@@ -1,0 +1,286 @@
+"""Numeric parity vs the PyTorch reference (BASELINE config 2).
+
+Builds the reference UNet (imported read-only from /root/reference) and our
+JAX UNet at the tiny 2-block/64-dim config, transplants the torch weights
+into the flax param tree, and checks forward outputs and input gradients
+match in fp32. The reference's ``Attend`` hard-requires CUDA state at
+forward time, so the test patches it to a plain fp32 SDPA on CPU — both
+sides then compute the same math in the same precision.
+
+Skipped automatically if torch or the reference checkout is unavailable.
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+torch = pytest.importorskip("torch")
+if not REFERENCE.exists():  # pragma: no cover
+    pytest.skip("reference checkout not available", allow_module_level=True)
+
+sys.path.insert(0, str(REFERENCE))
+
+from osu_fusion.modules import attention as ref_attention  # noqa: E402
+from osu_fusion.modules.unet import UNet as RefUNet  # noqa: E402
+
+from osufusion_tpu.config import ModelConfig  # noqa: E402
+from osufusion_tpu.nn.unet import UNet  # noqa: E402
+
+# tiny 2-block denoiser, 64-dim (BASELINE config 2)
+DIM_H = 96  # the reference's audio CrossEmbed needs dim_h > 72
+MULT = (1, 2)
+BLOCKS = (2, 2)
+HEADS, DIM_HEAD, KV_HEADS = 2, 32, 1
+CTX = 64
+B, N = 2, 32
+
+
+class _PlainSDPA(torch.nn.Module):
+    """fp32 SDPA replacing the reference's CUDA-only Attend for CPU parity."""
+
+    def forward(self, q, k, v, attn_mask=None):
+        return torch.nn.functional.scaled_dot_product_attention(q, k, v, attn_mask=attn_mask)
+
+
+@pytest.fixture(scope="module")
+def models():
+    torch.manual_seed(0)
+    ref_attention.Attend.forward = lambda self, q, k, v, attn_mask=None: (
+        torch.nn.functional.scaled_dot_product_attention(q, k, v, attn_mask=attn_mask)
+    )
+    ref = RefUNet(
+        dim_in_x=6,
+        dim_in_a=96,
+        dim_in_c=5,
+        dim_h=DIM_H,
+        dim_h_mult=MULT,
+        num_layer_blocks=BLOCKS,
+        num_middle_transformers=1,
+        attn_dim_head=DIM_HEAD,
+        attn_heads=HEADS,
+        attn_kv_heads=KV_HEADS,
+        attn_context_len=CTX,
+    ).eval()
+    # the output conv is zero-init in both: randomize so outputs are nonzero
+    with torch.no_grad():
+        ref.final_conv.weight.normal_(0, 0.1)
+        ref.final_conv.bias.normal_(0, 0.1)
+
+    cfg = ModelConfig(
+        dim_h=DIM_H,
+        dim_h_mult=MULT,
+        num_layer_blocks=BLOCKS,
+        num_middle_transformers=1,
+        attn_dim_head=DIM_HEAD,
+        attn_heads=HEADS,
+        attn_kv_heads=KV_HEADS,
+        attn_context_len=CTX,
+        dtype="float32",
+        attn_backend="xla",
+    )
+    ours = UNet(cfg)
+    params = ours.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, N, 6)),
+        jnp.zeros((1, N, 96)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 5)),
+        jnp.ones((1,), bool),
+    )
+    params = transplant(ref, params)
+    return ref, ours, params
+
+
+def _resolve(path: str, sd: dict) -> str:
+    """Our param path -> the reference state_dict key."""
+    parts = path.split("/")
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "params":
+            pass
+        elif p == "init_x" or (p == "init_conv"):
+            out.append("init_x" if p == "init_x" else "init_conv")
+        elif p.startswith("Conv_") and out and out[-1] in ("init_x", "init_conv"):
+            out[-1] = out[-1] + f".convs.{p.split('_')[1]}"
+        elif p == "audio_encoder":
+            out.append("audio_encoder")
+        elif p.startswith("layer_"):
+            out.append(f"layers.{p.split('_')[1]}")
+        elif p.startswith("down_"):
+            out.append(f"down_layers.{p.split('_')[1]}")
+        elif p.startswith("up_"):
+            out.append(f"up_layers.{p.split('_')[1]}")
+        elif p.startswith("middle_transformer_"):
+            out.append(f"middle_transformer.{p.rsplit('_', 1)[1]}")
+        elif p in ("middle_resnet1", "middle_resnet2", "final_resnet", "init_resnet"):
+            out.append(p)
+        elif p.startswith("resnet_"):
+            out.append(f"resnets.{p.split('_')[1]}")
+        elif p.startswith("transformer_"):
+            out.append(f"transformers.{p.split('_')[1]}")
+        elif p == "sampler":
+            nxt = parts[i + 1]
+            base = ".".join(out + ["sampler"])
+            if f"{base}.conv.weight" in sd:
+                out.append("sampler.conv")
+            else:
+                out.append(f"sampler.fns.{nxt.split('_')[1]}")
+            i += 1  # consumed Conv_i
+        elif p == "Dense_0" and out and out[-1].endswith(
+            ("init_resnet", "middle_resnet1", "middle_resnet2", "final_resnet")
+        ):
+            out.append("mlp.1")
+        elif p == "Dense_0" and "resnet" in out[-1]:
+            out.append("mlp.1")
+        elif p == "FiLMBlock_0":
+            nxt = parts[i + 1]
+            out.append("block1.proj" if nxt.startswith("Conv") else "block1.norm")
+            i += 1
+        elif p == "FiLMBlock_1":
+            nxt = parts[i + 1]
+            out.append("block2.proj" if nxt.startswith("Conv") else "block2.norm")
+            i += 1
+        elif p == "GlobalContext_0":
+            nxt = parts[i + 1]
+            out.append({"Dense_0": "se.to_k", "Dense_1": "se.layers.0", "Dense_2": "se.layers.2"}[nxt])
+            i += 1
+        elif p == "Conv_0":
+            out.append("res_conv")
+        elif p == "attn":
+            out.append("attn")
+        elif p == "LayerNorm_0":
+            out.append("norm")
+        elif p in ("to_q", "to_kv", "to_out"):
+            out.append(p)
+        elif p == "ff":
+            nxt = parts[i + 1]
+            out.append("ff." + {"Dense_0": "0", "Dense_1": "2"}[nxt])
+            i += 1
+        elif p == "time_mlp":
+            nxt = parts[i + 1]
+            out.append("time_mlp." + {"Dense_0": "1", "Dense_1": "3"}[nxt])
+            i += 1
+        elif p == "cond_mlp":
+            nxt = parts[i + 1]
+            out.append("cond_mlp." + {"Dense_0": "0", "Dense_1": "2"}[nxt])
+            i += 1
+        elif p == "final_conv":
+            out.append("final_conv")
+        elif p == "null_cond":
+            return "null_cond"
+        elif p in ("kernel", "scale"):
+            out.append("weight")
+        elif p == "bias":
+            out.append("bias")
+        else:
+            raise KeyError(f"unmapped path component {p!r} in {path}")
+        i += 1
+    return ".".join(out)
+
+
+def transplant(ref, params):
+    """Copy the torch weights into the flax tree (layout-transposed)."""
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+
+    def convert(kp, v):
+        path = "/".join(str(getattr(k, "key", k)) for k in kp)
+        key = _resolve(path, sd)
+        w = sd[key]
+        if v.ndim == 3 and w.ndim == 3:  # conv (out, in, k) -> (k, in, out)
+            w = w.transpose(2, 1, 0)
+        elif v.ndim == 2 and w.ndim == 3:  # torch 1x1 conv -> our Dense
+            w = w[:, :, 0].T
+        elif v.ndim == 2 and w.ndim == 2:  # linear (out, in) -> (in, out)
+            w = w.T
+        assert w.shape == v.shape, f"{path}: {w.shape} != {v.shape} (torch key {key})"
+        return jnp.asarray(w, v.dtype)
+
+    return jax.tree_util.tree_map_with_path(convert, params)
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, (B, 6, N)).astype(np.float32)
+    a = rng.normal(-5, 3, (B, 96, N)).astype(np.float32)
+    t = np.array([17.0, 431.0], dtype=np.float32)
+    c = rng.uniform(-1, 1, (B, 5)).astype(np.float32)
+    return x, a, t, c
+
+
+def test_forward_parity(models):
+    ref, ours, params = models
+    x, a, t, c = make_inputs()
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(a), torch.from_numpy(t), torch.from_numpy(c), cond_drop_prob=0.0
+        ).numpy()
+
+    # ours is channel-last
+    our_out = np.asarray(
+        ours.apply(
+            params,
+            jnp.asarray(x).swapaxes(1, 2),
+            jnp.asarray(a).swapaxes(1, 2),
+            jnp.asarray(t),
+            jnp.asarray(c),
+            jnp.ones((B,), bool),
+        )
+    ).swapaxes(1, 2)
+
+    assert ref_out.shape == our_out.shape
+    np.testing.assert_allclose(our_out, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_null_cond_parity(models):
+    """cond_drop_prob=1.0 routes through the learned null embedding in both."""
+    ref, ours, params = models
+    x, a, t, c = make_inputs(1)
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(a), torch.from_numpy(t), torch.from_numpy(c), cond_drop_prob=1.0
+        ).numpy()
+    our_out = np.asarray(
+        ours.apply(
+            params,
+            jnp.asarray(x).swapaxes(1, 2),
+            jnp.asarray(a).swapaxes(1, 2),
+            jnp.asarray(t),
+            jnp.asarray(c),
+            jnp.zeros((B,), bool),
+        )
+    ).swapaxes(1, 2)
+    np.testing.assert_allclose(our_out, ref_out, rtol=2e-3, atol=2e-4)
+
+
+def test_input_gradient_parity(models):
+    ref, ours, params = models
+    x, a, t, c = make_inputs(2)
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    loss_t = (ref(xt, torch.from_numpy(a), torch.from_numpy(t), torch.from_numpy(c), cond_drop_prob=0.0) ** 2).mean()
+    loss_t.backward()
+    ref_grad = xt.grad.numpy()
+
+    def loss_j(xj):
+        out = ours.apply(
+            params,
+            xj.swapaxes(1, 2),
+            jnp.asarray(a).swapaxes(1, 2),
+            jnp.asarray(t),
+            jnp.asarray(c),
+            jnp.ones((B,), bool),
+        )
+        return (out.swapaxes(1, 2) ** 2).mean()
+
+    l_j, our_grad = jax.value_and_grad(loss_j)(jnp.asarray(x))
+    np.testing.assert_allclose(float(l_j), float(loss_t.detach()), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(our_grad), ref_grad, rtol=5e-3, atol=1e-4)
