@@ -97,7 +97,15 @@ class UNetBlock(nn.Module):
 
 class AudioEncoder(nn.Module):
     """Parallel down-stack for the spectrogram (reference unet.py:266-318):
-    same block topology as the UNet's down path, no time/cond embedding."""
+    same block topology as the UNet's down path, no time/cond embedding.
+
+    NOTE: the reference UNet never forwards ``attn_context_len`` to its
+    AudioEncoder (unet.py:343-352), so the audio stack always uses the class
+    default 4096 regardless of the configured context — replicated here via
+    ``AUDIO_ATTN_CONTEXT_LEN`` for weight/behavior parity (identical to the
+    trunk at the production config, which uses 4096 anyway)."""
+
+    AUDIO_ATTN_CONTEXT_LEN = 4096
 
     cfg: ModelConfig
 
@@ -123,7 +131,7 @@ class AudioEncoder(nn.Module):
                 attn_dim_head=cfg.attn_dim_head,
                 attn_heads=cfg.attn_heads,
                 attn_kv_heads=cfg.attn_kv_heads,
-                attn_context_len=cfg.attn_context_len // (2**i),
+                attn_context_len=self.AUDIO_ATTN_CONTEXT_LEN // (2**i),
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
                 **common,

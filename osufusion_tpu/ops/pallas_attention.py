@@ -145,9 +145,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
     def _finalize():
         l = l_ref[:]
         o_ref[0, 0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        # lse stored lane-packed: (rows, 1) -> (rows//128, 128) avoids the
-        # 128x lane padding a trailing dim of 1 costs in HBM
-        lse_ref[0, 0] = (m_ref[:] + jnp.log(l)).reshape(lse_ref.shape[2:])
+        lse_ref[0, 0] = m_ref[:] + jnp.log(l)
 
 
 def _flash_fwd(qf, k, v, scale, group, bq, bk, window):
@@ -177,11 +175,11 @@ def _flash_fwd(qf, k, v, scale, group, bq, bk, window):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, rows, D), lambda b, g, i, j: (b, g, i, 0)),
-            pl.BlockSpec((1, 1, rows // 128, 128), lambda b, g, i, j: (b, g, i, 0)),
+            pl.BlockSpec((1, 1, rows, 1), lambda b, g, i, j: (b, g, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Kv, QR, D), qf.dtype),
-            jax.ShapeDtypeStruct((B, Kv, QR // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, Kv, QR, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, D), jnp.float32),
@@ -213,8 +211,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, 
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0].reshape(-1, 1)  # lane-packed -> (rows, 1)
-        delta = delta_ref[0, 0].reshape(-1, 1)
+        lse = lse_ref[0, 0]  # (rows, 1)
+        delta = delta_ref[0, 0]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         s = _masked(s, i * bq, virtual * bk, window, bq)
@@ -254,8 +252,8 @@ def _dkv_kernel(
         k = k_ref[0, 0]  # (bk, D)
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0].reshape(-1, 1)
-        delta = delta_ref[0, 0].reshape(-1, 1)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
         s = _masked(s, virtual * bq, jk * bk, window, bq)
@@ -279,6 +277,7 @@ def _dkv_kernel(
 
 def _flash_bwd(scale, group, bq, bk, window, res, g):
     qf, k, v, of, lse = res
+    lse = lse[..., None]  # residual stored squeezed; kernels want (B, Kv, QR, 1)
     dof, _ = g
     B, Kv, QR, D = qf.shape
     S = k.shape[2]
@@ -289,7 +288,7 @@ def _flash_bwd(scale, group, bq, bk, window, res, g):
     wb_q, n_visit_q = _kv_span_blocks(window, bk, bq, nq)
     local = window is not None
 
-    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1).reshape(B, Kv, QR // 128, 128)
+    delta = jnp.sum(dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1, keepdims=True)
 
     def kv_index(b, g_, i, j):
         if local:
@@ -304,8 +303,8 @@ def _flash_bwd(scale, group, bq, bk, window, res, g):
             pl.BlockSpec((1, 1, bk, D), kv_index),
             pl.BlockSpec((1, 1, bk, D), kv_index),
             pl.BlockSpec((1, 1, rows, D), lambda b, g_, i, j: (b, g_, i, 0)),
-            pl.BlockSpec((1, 1, rows // 128, 128), lambda b, g_, i, j: (b, g_, i, 0)),
-            pl.BlockSpec((1, 1, rows // 128, 128), lambda b, g_, i, j: (b, g_, i, 0)),
+            pl.BlockSpec((1, 1, rows, 1), lambda b, g_, i, j: (b, g_, i, 0)),
+            pl.BlockSpec((1, 1, rows, 1), lambda b, g_, i, j: (b, g_, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, rows, D), lambda b, g_, i, j: (b, g_, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Kv, QR, D), qf.dtype),
@@ -325,8 +324,8 @@ def _flash_bwd(scale, group, bq, bk, window, res, g):
             pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),
             pl.BlockSpec((1, 1, rows, D), q_index),
-            pl.BlockSpec((1, 1, rows // 128, 128), q_index),
-            pl.BlockSpec((1, 1, rows // 128, 128), q_index),
+            pl.BlockSpec((1, 1, rows, 1), q_index),
+            pl.BlockSpec((1, 1, rows, 1), q_index),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),
@@ -356,7 +355,10 @@ def _flash_attention_folded(qf, k, v, scale, group, bq, bk, window):
 
 def _fwd_rule(qf, k, v, scale, group, bq, bk, window):
     o, lse = _flash_fwd(qf, k, v, scale, group, bq, bk, window)
-    return o, (qf, k, v, o, lse)
+    # squeeze the residual: XLA pads a trailing dim of 1 by 128x in HBM, so a
+    # (B, Kv, QR, 1) tensor held for the whole backward would cost 128x its
+    # logical size; the padded form stays a transient inside fwd/bwd instead
+    return o, (qf, k, v, o, lse[..., 0])
 
 
 def _bwd_rule(scale, group, bq, bk, window, res, g):
