@@ -69,44 +69,50 @@ def init_state(model: GenerativeModel, cfg: Config, rng: jax.Array, seq_len: int
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state, rng=rng)
 
 
-def shard_state(state: TrainState, mesh: Mesh) -> Tuple[TrainState, TrainState]:
-    """Place a TrainState on the mesh; returns (placed_state, sharding_tree)."""
+def shard_state(state: TrainState, mesh: Mesh, shard_opt_state: bool = True) -> Tuple[TrainState, TrainState]:
+    """Place a TrainState on the mesh; returns (placed_state, sharding_tree).
+
+    With ``shard_opt_state`` and a data axis > 1, the AdamW moment trees are
+    ZeRO-1 style sharded over the ``data`` axis (largest divisible dim of each
+    moment tensor) on top of any tensor-parallel param sharding: GSPMD keeps
+    the update math correct and the per-chip optimizer footprint drops by the
+    data-axis size — this is what lets the reference's 1.28B-param default
+    config train on a v5e slice."""
     p_shard = param_shardings(state.params, mesh)
     rep = replicated(mesh)
 
-    def opt_shard(x):
-        # optimizer moments mirror the param tree twice inside adamw state;
-        # match by shape lookup: replicate anything we can't identify
-        return rep
+    data_size = mesh.shape["data"]
+    use_zero = shard_opt_state and data_size > 1
 
-    shardings = TrainState(
-        step=rep,
-        params=p_shard,
-        opt_state=jax.tree.map(lambda _: rep, state.opt_state),
-        rng=rep,
-    )
-    # moments share the params' structure: give them the params' shardings
-    try:
-        shardings = dataclasses.replace(
-            shardings,
-            opt_state=_match_opt_state_shardings(state.opt_state, state.params, p_shard, rep),
-        )
-    except Exception:
-        pass
-    placed = jax.device_put(state, shardings)
-    return placed, shardings
+    def moment_shard(param_sharding):
+        def assign(ns, p):
+            if not use_zero or not hasattr(p, "shape") or p.ndim == 0:
+                return ns
+            spec = list(ns.spec) + [None] * (p.ndim - len(ns.spec))
+            # shard the largest still-unsharded dim over data
+            order = sorted(range(p.ndim), key=lambda d: -p.shape[d])
+            for d in order:
+                if spec[d] is None and p.shape[d] % data_size == 0:
+                    spec[d] = "data"
+                    break
+            return NamedSharding(mesh, P(*spec))
 
+        return jax.tree.map(assign, param_sharding, state.params)
 
-def _match_opt_state_shardings(opt_state, params, p_shard, rep):
-    """Give adamw's mu/nu trees the same shardings as the params they mirror."""
-    params_struct = jax.tree_util.tree_structure(params)
+    params_struct = jax.tree_util.tree_structure(state.params)
 
-    def handle(node):
+    def handle_opt(node):
         if jax.tree_util.tree_structure(node) == params_struct:
-            return p_shard
+            return moment_shard(p_shard)
         return jax.tree.map(lambda _: rep, node)
 
-    return jax.tree.map(handle, opt_state, is_leaf=lambda n: jax.tree_util.tree_structure(n) == params_struct)
+    opt_shardings = jax.tree.map(
+        handle_opt, state.opt_state, is_leaf=lambda n: jax.tree_util.tree_structure(n) == params_struct
+    )
+
+    shardings = TrainState(step=rep, params=p_shard, opt_state=opt_shardings, rng=rep)
+    placed = jax.device_put(state, shardings)
+    return placed, shardings
 
 
 def make_train_step(model: GenerativeModel, cfg: Config, mesh: Mesh):

@@ -218,3 +218,20 @@ def test_segment_sr_recomputes_conditioning(tmp_path):
     np.testing.assert_allclose(c2[:4], c[:4], atol=1e-5)
     assert c2[4] != c[4]  # the fake 9.9-star rating was replaced
     assert -1.0 <= c2[4] <= 1.0
+
+
+def test_zero1_opt_state_sharding():
+    """Optimizer moments shard over the data axis (ZeRO-1) while params stay
+    per the TP rules; one step runs and updates correctly on the mesh."""
+    cfg = tiny_config(batch_size=8)
+    model = build_model(cfg.model, cfg.diffusion)
+    mesh = make_mesh(data=8, model=1)
+    state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+    state, shardings = shard_state(state, mesh, shard_opt_state=True)
+
+    specs = [s.spec for s in jax.tree.leaves(shardings.opt_state) if hasattr(s, "spec")]
+    assert any(any(ax == "data" for ax in spec if ax) for spec in specs if spec)
+
+    step = make_train_step(model, cfg, mesh)
+    state, metrics = step(state, np_batch())
+    assert np.isfinite(float(metrics["loss"]))
