@@ -116,6 +116,8 @@ class TrainConfig:
     # parallelism: data axis x model axis; -1 = all available devices on data
     mesh_data: int = -1
     mesh_model: int = 1
+    # ZeRO-1: shard optimizer moments over the data axis (no effect at data=1)
+    shard_opt_state: bool = True
 
 
 @dataclass(frozen=True)

@@ -28,7 +28,7 @@ pair, composed as a single matmul over the rank dim.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Tuple
 
 import jax

@@ -20,7 +20,7 @@ import numpy as np
 
 from osufusion_tpu.audio import frame_times, load_audio, normalize_context
 from osufusion_tpu.codec.decode import Metadata, decode_beatmap
-from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig
+from osufusion_tpu.config import Config, ModelConfig
 from osufusion_tpu.models import build_model
 from osufusion_tpu.utils.serialization import load_safetensors
 

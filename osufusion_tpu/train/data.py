@@ -23,7 +23,7 @@ import random
 import threading
 from pathlib import Path
 from queue import Queue
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Sequence, Tuple
 
 import numpy as np
 

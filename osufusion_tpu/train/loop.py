@@ -17,8 +17,7 @@ fixed-seed sampling. TPU-native mechanics:
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
+
 from pathlib import Path
 from typing import Any, Iterator, Optional, Tuple
 

@@ -85,7 +85,7 @@ def train(cfg: Config) -> None:
     state = init_state(model, cfg, jax.random.PRNGKey(cfg.train.seed))
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     print(f"model: {cfg.diffusion.objective} dim_h={cfg.model.dim_h} ({n_params/1e6:.1f}M params)")
-    state, _ = shard_state(state, mesh)
+    state, _ = shard_state(state, mesh, shard_opt_state=cfg.train.shard_opt_state)
     step_fn = make_train_step(model, cfg, mesh)
 
     mngr = checkpoint_manager(project_dir, cfg.train.max_num_checkpoints)
