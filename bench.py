@@ -95,10 +95,19 @@ def bench_train() -> dict:
     seq = int(os.environ.get("BENCH_SEQ", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
+    full_bf16 = os.environ.get("BENCH_FULL_BF16", "0") == "1"
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
     cfg = Config(
-        model=ModelConfig(dim_h=dim_h, dtype="bfloat16"),
+        model=ModelConfig(
+            dim_h=dim_h,
+            dtype="bfloat16",
+            param_dtype="bfloat16" if full_bf16 else "float32",
+            remat=remat,
+        ),
         diffusion=DiffusionConfig(),
-        train=TrainConfig(batch_size=batch, total_steps=10**6, warmup_steps=1000, lr=1e-5),
+        train=TrainConfig(
+            batch_size=batch, total_steps=10**6, warmup_steps=1000, lr=1e-5, full_bf16=full_bf16
+        ),
     )
     mesh = make_mesh(data=1, model=1)
     model = build_model(cfg.model, cfg.diffusion)
@@ -129,13 +138,22 @@ def bench_train() -> dict:
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / steps
 
+    from osufusion_tpu.utils.flops import train_step_flops
+
+    flops = train_step_flops(cfg.model, batch, seq, remat=cfg.model.remat)
+    peak = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12}.get(
+        next((k for k in ("v5 lite", "v5e", "v5p", "v4") if k in jax.devices()[0].device_kind.lower()), ""), 197e12
+    )
+    mfu = flops / dt / peak * 100.0
     return {
-        "metric": "train_step_time_bf16",
-        "value": round(dt, 4),
-        "unit": "s/step",
-        "vs_baseline": 1.0,
+        "metric": "train_step_mfu_bf16",
+        "value": round(mfu, 2),
+        "unit": "percent_of_peak",
+        "vs_baseline": round(mfu / 40.0, 3),
         "detail": {
+            "s_per_step": round(dt, 4),
             "steps_per_sec": round(1.0 / dt, 3),
+            "analytic_flops_per_step": flops,
             "dim_h": dim_h,
             "batch": batch,
             "seq": seq,

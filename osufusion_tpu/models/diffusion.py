@@ -78,6 +78,13 @@ class DiffusionModel(GenerativeModel):
         ts = ddim.ddim_timesteps(self.cfg.train_timesteps, steps)
         ts_prev = np.concatenate([ts[1:], [-1]])
 
+        from osufusion_tpu.ops.pallas_attention import inference_attention
+
+        with inference_attention():
+            return self._sample_scan(params, x, a, c, cond_scale, ts, ts_prev)
+
+    def _sample_scan(self, params, x, a, c, cond_scale, ts, ts_prev):
+        B = x.shape[0]
         # encode the spectrogram ONCE for the whole trajectory
         a_enc = self.encode_audio_cl(params, to_channel_last(a))
 

@@ -80,6 +80,13 @@ class RectifiedFlowModel(GenerativeModel):
         steps = sampling_timesteps or self.DEFAULT_SAMPLING_TIMESTEPS
         times = jnp.linspace(0.0, 1.0, steps)
 
+        from osufusion_tpu.ops.pallas_attention import inference_attention
+
+        with inference_attention():
+            return self._sample_scan(params, x, a, c, cond_scale, times)
+
+    def _sample_scan(self, params, x, a, c, cond_scale, times):
+        B = x.shape[0]
         a_enc = self.encode_audio_cl(params, to_channel_last(a))
 
         def f(x, t_scalar):

@@ -36,9 +36,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_K = 512
-# folded Q rows per program (group * block_q); keeps VMEM bounded
+# folded Q rows per program (group * block_q); bounded by VMEM. Training needs
+# headroom for the backward kernels' temporaries; inference (forward-only, see
+# inference_attention()) can run double-size blocks, halving per-program
+# overhead in samplers.
 TARGET_FOLDED_ROWS = 2048
+# 4096 rows exceeds the 16 MB VMEM budget even forward-only (p temp is
+# rows x bk x 4B); kept equal to training until a smaller-footprint softmax
+# lands. The inference_attention() hook stays as the tuning point.
+INFERENCE_FOLDED_ROWS = 2048
 NEG_INF = -1e30
+
+_INFERENCE = __import__("contextvars").ContextVar("osufusion_flash_inference", default=False)
+
+
+def inference_attention():
+    """Trace-time hint: the enclosed computation is forward-only, so the
+    kernel may use larger q blocks than the backward could afford."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        token = _INFERENCE.set(True)
+        try:
+            yield
+        finally:
+            _INFERENCE.reset(token)
+
+    return ctx()
 
 
 def _pick_block(t: int, preferred: int) -> int:
@@ -50,7 +75,8 @@ def _pick_block(t: int, preferred: int) -> int:
 
 def _choose_blocks(t: int, s: int, group: int) -> tuple[int, int]:
     """(block_q, block_k) given the fold group size."""
-    bq = _pick_block(t, max(128, TARGET_FOLDED_ROWS // group))
+    rows = INFERENCE_FOLDED_ROWS if _INFERENCE.get() else TARGET_FOLDED_ROWS
+    bq = _pick_block(t, max(128, rows // group))
     bk = _pick_block(s, DEFAULT_BLOCK_K)
     return bq, bk
 

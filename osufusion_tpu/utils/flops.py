@@ -1,0 +1,110 @@
+"""Analytic FLOP counting for the UNet denoiser.
+
+XLA's ``cost_analysis`` excludes custom-call (Pallas) FLOPs, so MFU computed
+from it under-reports. This walks the architecture and counts matmul/conv
+MACs x2; attention counts the actual visited-KV span of the windowed kernel.
+"""
+
+from __future__ import annotations
+
+from osufusion_tpu.config import ModelConfig
+from osufusion_tpu.ops.pallas_attention import _choose_blocks, _kv_span_blocks
+
+
+def _conv(B: int, T: int, cin: int, cout: int, k: int) -> float:
+    return 2.0 * B * T * cin * cout * k
+
+
+def _dense(B: int, T: int, din: int, dout: int) -> float:
+    return 2.0 * B * T * din * dout
+
+
+def _attention(B: int, T: int, heads: int, dh: int, kv_heads: int, window: int | None) -> float:
+    group = heads // kv_heads
+    bq, bk = _choose_blocks(T, T, group)
+    if window is not None and window // 2 >= T - 1:
+        window = None
+    if window is None:
+        visited = T
+    else:
+        _, n_visit = _kv_span_blocks(window, bq, bk, T // bk)
+        visited = min(T, n_visit * bk)
+    return 4.0 * B * heads * T * visited * dh
+
+
+def _transformer(B: int, T: int, dim: int, cfg: ModelConfig, ctx: int) -> float:
+    inner = cfg.attn_heads * cfg.attn_dim_head
+    kv_inner = cfg.attn_kv_heads * cfg.attn_dim_head
+    f = _dense(B, T, dim, inner)  # to_q
+    f += _dense(B, T, dim, kv_inner * 2)  # to_kv
+    f += _attention(B, T, cfg.attn_heads, cfg.attn_dim_head, cfg.attn_kv_heads, ctx if cfg.attn_local else None)
+    f += _dense(B, T, inner, dim)  # to_out
+    f += _dense(B, T, dim, dim * 2) + _dense(B, T, dim * 2, dim)  # ff mult 2
+    return f
+
+
+def _resblock(B: int, T: int, cin: int, cout: int) -> float:
+    f = _conv(B, T, cin, cout, 3) + _conv(B, T, cout, cout, 3)
+    f += _dense(B, 1, cout, cout // 2) * 2  # GCA bottleneck (approx)
+    if cin != cout:
+        f += _conv(B, T, cin, cout, 1)
+    return f
+
+
+def unet_fwd_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
+    """Forward FLOPs of one UNet call (trunk + audio encoder)."""
+    B, T = batch, seq
+    h = cfg.dim_h
+    dims = [h] + [h * m for m in cfg.dim_h_mult]
+    total = 0.0
+
+    # stems (approximate: full dim over the 3 kernels)
+    total += _conv(B, T, cfg.dim_in_x, h, 8) + _conv(B, T, cfg.dim_in_a, h, 8)
+
+    def stack(with_cond: bool, audio_ctx: bool) -> float:
+        f = 0.0
+        t = T
+        for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+            ctx = (4096 if audio_ctx else cfg.attn_context_len) // (2**i)
+            n_blocks = cfg.num_layer_blocks[i]
+            f += _resblock(B, t, din, din)  # init
+            for _ in range(n_blocks):
+                f += _resblock(B, t, din, din)
+                f += _transformer(B, t, din, cfg, ctx)
+            if with_cond:
+                f += _dense(B, 1, h * 8, din * 2) * (n_blocks + 1)  # FiLM mlps
+            f += _conv(B, t, din, dout, 3)  # sampler
+            if i < len(dims) - 2:
+                t //= 2
+        return f
+
+    total += stack(True, False)  # down path
+    total += stack(False, True)  # audio encoder
+    tb = T // (2 ** (len(dims) - 2))
+    bottleneck_ctx = cfg.attn_context_len // (2 ** (len(dims) - 2))
+    total += _resblock(B, tb, dims[-1] * 2, dims[-1])
+    total += cfg.num_middle_transformers * _transformer(B, tb, dims[-1], cfg, bottleneck_ctx)
+    total += _resblock(B, tb, dims[-1], dims[-1])
+
+    # up path (mirror of down with skip concats)
+    t = tb
+    for i, (dout, din) in enumerate(reversed(list(zip(dims[:-1], dims[1:])))):
+        ctx = cfg.attn_context_len // (2 ** (len(dims) - 2 - i))
+        n_blocks = tuple(reversed(cfg.num_layer_blocks))[i]
+        f_in = din + (dims[::-1][i + 1] if i + 1 < len(dims) else h)
+        total += _resblock(B, t, f_in, din)
+        for _ in range(n_blocks):
+            total += _resblock(B, t, din, din)
+            total += _transformer(B, t, din, cfg, ctx)
+        total += _conv(B, t, din, dout, 3)
+        if i < len(dims) - 2:
+            t *= 2
+
+    total += _resblock(B, T, h * 2, h) + _conv(B, T, h, cfg.dim_in_x, 1)
+    return total
+
+
+def train_step_flops(cfg: ModelConfig, batch: int, seq: int, remat: bool = True) -> float:
+    """fwd + bwd (2x fwd) + remat recompute (1x fwd when enabled)."""
+    fwd = unet_fwd_flops(cfg, batch, seq)
+    return fwd * (4.0 if remat else 3.0)
