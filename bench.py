@@ -42,7 +42,13 @@ def bench_generation() -> dict:
     n_frames = int(song_seconds * SR / HOP_LENGTH)
     padded = ((n_frames + LENGTH_BUCKET - 1) // LENGTH_BUCKET) * LENGTH_BUCKET
 
-    cfg = Config(model=ModelConfig(dim_h=dim_h, dtype="bfloat16"), diffusion=DiffusionConfig())
+    full_bf16 = os.environ.get("BENCH_FULL_BF16", "1") == "1"
+    cfg = Config(
+        model=ModelConfig(
+            dim_h=dim_h, dtype="bfloat16", param_dtype="bfloat16" if full_bf16 else "float32"
+        ),
+        diffusion=DiffusionConfig(),
+    )
     model = build_model(cfg.model, cfg.diffusion)
     params = model.init_params(jax.random.PRNGKey(0))
 

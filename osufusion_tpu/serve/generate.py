@@ -40,8 +40,9 @@ def load_model(model_path: Path, config_path: Optional[Path] = None):
     cfg = Config.load(config_path) if config_path else Config(model=ModelConfig(dim_h=128))
     model = build_model(cfg.model, cfg.diffusion)
     params_like = model.init_params(jax.random.PRNGKey(0))
-    loaded = load_safetensors(model_path)
-    params = jax.tree.map(lambda ref, new: jnp.asarray(new, ref.dtype), params_like, loaded)
+    from osufusion_tpu.utils.serialization import load_params_lenient
+
+    params = load_params_lenient(params_like, load_safetensors(model_path))
     return model, params
 
 

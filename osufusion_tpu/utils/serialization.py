@@ -40,3 +40,35 @@ def load_safetensors(path: Path) -> Dict[str, Any]:
     from safetensors.numpy import load_file
 
     return unflatten_params(load_file(str(path)))
+
+
+def load_params_lenient(params_like: Any, loaded_flat_or_tree: Any, verbose: bool = True) -> Any:
+    """Fill ``params_like`` with matching entries from a loaded tree,
+    reporting missing/unexpected keys instead of failing — the analog of the
+    reference's ``strict=False`` fallback when the architecture changed
+    (reference trainer.py:193-199)."""
+    import jax
+    import jax.numpy as jnp
+
+    loaded = loaded_flat_or_tree if isinstance(loaded_flat_or_tree, dict) else {}
+    flat_loaded = flatten_params(loaded)
+    flat_like = jax.tree_util.tree_flatten_with_path(params_like)[0]
+
+    def path_str(kp) -> str:
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    like_keys = {path_str(kp) for kp, _ in flat_like}
+    missing = sorted(like_keys - set(flat_loaded))
+    unexpected = sorted(set(flat_loaded) - like_keys)
+    if verbose and missing:
+        print(f"Missing keys ({len(missing)}): {missing[:8]}{'...' if len(missing) > 8 else ''}")
+    if verbose and unexpected:
+        print(f"Unexpected keys ({len(unexpected)}): {unexpected[:8]}{'...' if len(unexpected) > 8 else ''}")
+
+    def fill(kp, ref):
+        key = path_str(kp)
+        if key in flat_loaded and flat_loaded[key].shape == ref.shape:
+            return jnp.asarray(flat_loaded[key], ref.dtype)
+        return ref
+
+    return jax.tree_util.tree_map_with_path(fill, params_like)

@@ -149,3 +149,15 @@ def test_config_json_roundtrip(tmp_path):
     assert back.model.dim_h_mult == (1, 2, 3)
     assert back.diffusion.objective == "rectified-flow"
     assert back.train.batch_size == 7
+
+
+def test_lenient_load_reports_and_fills(capsys):
+    from osufusion_tpu.utils.serialization import load_params_lenient
+
+    like = {"a": {"kernel": jnp.zeros((2, 3)), "bias": jnp.zeros(3)}, "b": jnp.zeros(4)}
+    loaded = {"a": {"kernel": np.ones((2, 3), np.float32)}, "extra": np.ones(1, np.float32)}
+    out = load_params_lenient(like, loaded)
+    np.testing.assert_array_equal(np.asarray(out["a"]["kernel"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(out["a"]["bias"]), 0.0)  # missing: kept
+    captured = capsys.readouterr().out
+    assert "Missing keys" in captured and "Unexpected keys" in captured

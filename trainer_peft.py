@@ -85,8 +85,9 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
     base_params = model.init_params(jax.random.PRNGKey(cfg.train.seed))
     if model_path is not None:
         print(f"loading pretrained weights from {model_path}")
-        loaded = load_safetensors(model_path)
-        base_params = jax.tree.map(lambda ref, new: jnp.asarray(new, ref.dtype), base_params, loaded)
+        from osufusion_tpu.utils.serialization import load_params_lenient
+
+        base_params = load_params_lenient(base_params, load_safetensors(model_path))
     if cfg.train.full_bf16:
         base_params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), base_params)
 
