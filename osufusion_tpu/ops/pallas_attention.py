@@ -45,6 +45,7 @@ TARGET_FOLDED_ROWS = 2048
 # rows x bk x 4B); kept equal to training until a smaller-footprint softmax
 # lands. The inference_attention() hook stays as the tuning point.
 INFERENCE_FOLDED_ROWS = 2048
+INFERENCE_BLOCK_K = 1024
 NEG_INF = -1e30
 
 _INFERENCE = __import__("contextvars").ContextVar("osufusion_flash_inference", default=False)
@@ -73,11 +74,23 @@ def _pick_block(t: int, preferred: int) -> int:
     return 0
 
 
+def _pick_block_wide(t: int, preferred: int) -> int:
+    for b in (preferred, 1024, 512, 256, 128):
+        if b <= preferred and t % b == 0:
+            return b
+    return 0
+
+
 def _choose_blocks(t: int, s: int, group: int) -> tuple[int, int]:
     """(block_q, block_k) given the fold group size."""
     rows = INFERENCE_FOLDED_ROWS if _INFERENCE.get() else TARGET_FOLDED_ROWS
     bq = _pick_block(t, max(128, rows // group))
-    bk = _pick_block(s, DEFAULT_BLOCK_K)
+    if _INFERENCE.get():
+        # bf16 logits halve the per-chunk VMEM: double-wide KV blocks fit,
+        # halving the visit count (and its per-visit fixed costs)
+        bk = _pick_block_wide(s, INFERENCE_BLOCK_K)
+    else:
+        bk = _pick_block(s, DEFAULT_BLOCK_K)
     return bq, bk
 
 
@@ -131,7 +144,9 @@ def _masked(s: jnp.ndarray, q_start, k_start, window: Optional[int], bq: int) ->
 # ----------------------------------------------------------------- forward
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale, bq, bk, nk, wb, window):
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale, bq, bk, nk, wb, window, fast
+):
     i = pl.program_id(2)
     j = pl.program_id(3)
     n_visit = pl.num_programs(3)
@@ -151,14 +166,21 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
         k = k_ref[0, 0]  # (bk, D)
         v = v_ref[0, 0]
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = _masked(s * scale, i * bq, virtual * bk, window, bq)
+        # fast (forward-only) mode keeps the logits/probabilities in bf16:
+        # the MXU emits bf16 directly (f32 accumulation internally), the VPU
+        # packs 2 bf16 lanes per f32 lane, and the l-sum still accumulates in
+        # f32. Softmax stats stay f32 in scratch. ~1e-3 relative output error
+        # vs the exact path - in line with the bf16 matmuls around it.
+        s_dtype = jnp.bfloat16 if fast else jnp.float32
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=s_dtype)
+        s = _masked((s.astype(jnp.float32) * scale).astype(s_dtype) if fast else s * scale,
+                    i * bq, virtual * bk, window, bq)
 
         m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True).astype(jnp.float32))
+        p = jnp.exp(s - m_new.astype(s_dtype))
         correction = jnp.exp(m_prev - m_new)
-        l_new = correction * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+        l_new = correction * l_ref[:] + jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
 
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -174,7 +196,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s
         lse_ref[0, 0] = m_ref[:] + jnp.log(l)
 
 
-def _flash_fwd(qf, k, v, scale, group, bq, bk, window):
+def _flash_fwd(qf, k, v, scale, group, bq, bk, window, fast=False):
     """qf: folded (B, Kv, nq*group*bq, D); k/v: (B, Kv, S, D)."""
     B, Kv, QR, D = qf.shape
     S = k.shape[2]
@@ -189,7 +211,9 @@ def _flash_fwd(qf, k, v, scale, group, bq, bk, window):
             return (b, g, jnp.clip((i * bq) // bk - wb + j, 0, nk - 1), 0)
         return (b, g, j, 0)
 
-    kernel = functools.partial(_fwd_kernel, scale=scale, bq=bq, bk=bk, nk=nk, wb=wb, window=window)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, bq=bq, bk=bk, nk=nk, wb=wb, window=window, fast=fast
+    )
 
     o, lse = pl.pallas_call(
         kernel,
@@ -373,21 +397,23 @@ def _flash_bwd(scale, group, bq, bk, window, res, g):
 # -------------------------------------------------------------- public API
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention_folded(qf, k, v, scale, group, bq, bk, window):
-    o, _ = _flash_fwd(qf, k, v, scale, group, bq, bk, window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_attention_folded(qf, k, v, scale, group, bq, bk, window, fast=False):
+    o, _ = _flash_fwd(qf, k, v, scale, group, bq, bk, window, fast)
     return o
 
 
-def _fwd_rule(qf, k, v, scale, group, bq, bk, window):
-    o, lse = _flash_fwd(qf, k, v, scale, group, bq, bk, window)
+def _fwd_rule(qf, k, v, scale, group, bq, bk, window, fast=False):
+    # the exact-softmax forward backs the residuals; fast mode is never
+    # differentiated (samplers only), but keep bwd numerically consistent
+    o, lse = _flash_fwd(qf, k, v, scale, group, bq, bk, window, False)
     # squeeze the residual: XLA pads a trailing dim of 1 by 128x in HBM, so a
     # (B, Kv, QR, 1) tensor held for the whole backward would cost 128x its
     # logical size; the padded form stays a transient inside fwd/bwd instead
     return o, (qf, k, v, o, lse[..., 0])
 
 
-def _bwd_rule(scale, group, bq, bk, window, res, g):
+def _bwd_rule(scale, group, bq, bk, window, fast, res, g):
     return _flash_bwd(scale, group, bq, bk, window, res, (g, None))
 
 
@@ -421,6 +447,6 @@ def flash_attention(
     vh = jnp.swapaxes(v, 1, 2)
 
     qf = _fold(qh, group, bq)
-    of = _flash_attention_folded(qf, kh, vh, scale, group, bq, bk, window)
+    of = _flash_attention_folded(qf, kh, vh, scale, group, bq, bk, window, _INFERENCE.get())
     o = _unfold(of, group, bq, T)
     return jnp.swapaxes(o, 1, 2)

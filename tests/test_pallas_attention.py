@@ -147,3 +147,16 @@ def test_small_window_unequal_blocks_matches_naive():
         np.testing.assert_allclose(
             np.asarray(out_flash), np.asarray(out_naive), atol=2e-5, rtol=2e-5, err_msg=f"window={window}"
         )
+
+
+def test_inference_fast_path_close_to_exact():
+    """The bf16-softmax inference path stays within bf16-level error."""
+    from osufusion_tpu.ops.pallas_attention import inference_attention
+
+    q, k, v = make_qkv(B=1, T=1024, H=16, Kv=1, dtype=jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        exact = pa.flash_attention(q, k, v, window=512)
+        with inference_attention():
+            fast = pa.flash_attention(q, k, v, window=512)
+    err = np.abs(np.asarray(fast, np.float32) - np.asarray(exact, np.float32)).max()
+    assert err < 0.02, f"fast-path error too large: {err}"
