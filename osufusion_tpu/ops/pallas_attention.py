@@ -172,9 +172,10 @@ def _fwd_kernel(
         # f32. Softmax stats stay f32 in scratch. ~1e-3 relative output error
         # vs the exact path - in line with the bf16 matmuls around it.
         s_dtype = jnp.bfloat16 if fast else jnp.float32
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=s_dtype)
-        s = _masked((s.astype(jnp.float32) * scale).astype(s_dtype) if fast else s * scale,
-                    i * bq, virtual * bk, window, bq)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        # Mosaic requires a 32-bit matmul accumulator; the scale+cast applies
+        # on the way out of the acc registers
+        s = _masked((s * scale).astype(s_dtype), i * bq, virtual * bk, window, bq)
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True).astype(jnp.float32))
