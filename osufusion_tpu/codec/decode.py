@@ -1,22 +1,32 @@
 """Model output -> playable ``.osu`` text.
 
-Capability parity with reference osu_fusion/library/osu/data/decode.py:
-discretize hit channels at 0 (:144); recover onsets/combos/sustains/sliders
-(:148-169); autocorrelation BPM detection with a 1000-candidate phase-histogram
-fine-tune (:90-123); beat snapping to 1/16 (:126-130); spinner/slider/circle
-classification with min-4-frame rules (:194-212); slider rebuild via
-least-squares Bézier fitting plus a per-slider inherited velocity timing point
-(:224-231); and the ``.osu`` v14 template fill (:31-60).
+Capability parity with reference osu_fusion/library/osu/data/decode.py
+(studied for behavior, re-designed here): binarize the four hit channels,
+recover onset/combo/sustain/slide events, estimate a tempo grid
+(autocorrelation BPM + phase-histogram refinement, decode.py:90-123), snap
+times to 1/16 beats (:126-130), classify each onset as circle/spinner/slider
+with the min-4-frame span rules (:194-212), re-fit slider paths with
+least-squares Béziers plus per-slider inherited velocity points (:63-80,
+:224-231), and emit an ``.osu`` v14 file.
+
+Design (original to this repo): the decode is staged as
+  signal -> event table (vectorized numpy)        _extract_events
+         -> TempoGrid (frozen dataclass)          estimate_tempo / TempoGrid.from_bpm
+         -> hit-object IR (dataclasses)           _classify_onset
+         -> section renderer                      _render_osu
+instead of a single string-appending walk.
 
 Fixes over the reference (documented in SURVEY.md "quirks"): a zero-length
-slider decodes to a circle only (the reference also emitted a malformed slider
-line, decode.py:218-224).
+slider decodes to a circle only (the reference also emitted a malformed
+slider line); object times are written as integer milliseconds (the
+reference emitted raw floats its own parser rejects); combo flips that do
+not land exactly on an onset frame are ignored instead of crashing.
 """
 
 from __future__ import annotations
 
-from dataclasses import asdict, dataclass
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 from scipy import signal as sp_signal
@@ -24,12 +34,21 @@ from scipy import signal as sp_signal
 from osufusion_tpu.codec.encode import BeatmapEncoding
 from osufusion_tpu.codec.fit_bezier import fit_bezier, get_segment_length
 from osufusion_tpu.codec.hit import decode_extents, decode_flips
-from osufusion_tpu.osu.hit_objects import TimingPoint
 
 BEAT_DIVISOR = 16
 SLIDER_MULT = 1.0
 MIN_BPM = 1
 MAX_BPM = 300
+PLAYFIELD = np.array([512.0, 384.0])
+
+# .osu hit-object type bitfield
+_TYPE_CIRCLE = 1 << 0
+_TYPE_SLIDER = 1 << 1
+_TYPE_NEW_COMBO = 1 << 2
+_TYPE_SPINNER = 1 << 3
+
+# minimum region length (frames) for a sustain/slide to count as such
+_MIN_SPAN_FRAMES = 4
 
 
 @dataclass
@@ -44,117 +63,300 @@ class Metadata:
     hp: float
 
 
-MAP_TEMPLATE = """osu file format v14
-
-[General]
-AudioFilename: {audio_filename}
-AudioLeadIn: 0
-Mode: 0
-
-[Metadata]
-Title: {title}
-TitleUnicode: {title}
-Artist: {artist}
-ArtistUnicode: {artist}
-Creator: OsuFusion
-Version: {version}
-Tags: OsuFusion
-
-[Difficulty]
-HPDrainRate: {hp}
-CircleSize: {cs}
-OverallDifficulty: {od}
-ApproachRate: {ar}
-SliderMultiplier: 1
-SliderTickRate: 1
-
-[TimingPoints]
-{timing_points}
-
-[HitObjects]
-{hit_objects}
-"""
+# --------------------------------------------------------------------------
+# Tempo estimation
+# --------------------------------------------------------------------------
 
 
-def slider_decoder(
-    cursor_signal: np.ndarray,
-    start_idx: int,
-    end_idx: int,
-    num_repeats: int,
-) -> Tuple[float, List[np.ndarray]]:
-    """Fit the first slide's cursor trace with Bézier segments; returns the
-    path pixel length and flat control-point list."""
-    first_slide_idx = round(start_idx + (end_idx - start_idx) / num_repeats)
+@dataclass(frozen=True)
+class TempoGrid:
+    """A beat grid: period + phase, and whether snapping is active."""
 
-    control_points: List[np.ndarray] = []
-    length = 0.0
+    beat_length: float  # ms per beat
+    offset: float  # ms phase of beat 0
+    snap: bool
 
-    path = fit_bezier(cursor_signal.T[start_idx : first_slide_idx + 1], max_err=50.0)
-    for segment in path:
-        segment = segment.round()
-        control_points.extend(segment)
-        length += get_segment_length(segment)
+    @classmethod
+    def free(cls) -> "TempoGrid":
+        """No snapping; nominal 200 BPM grid only for the header line."""
+        return cls(beat_length=60000.0 / 200.0, offset=0.0, snap=False)
 
-    return length, control_points
+    @classmethod
+    def from_beat_length(cls, beat_length: float, hit_times: np.ndarray) -> "TempoGrid":
+        """Anchor the grid phase at the densest onset-phase bin."""
+        _, offset = _phase_concentration(hit_times, beat_length)
+        return cls(beat_length=beat_length, offset=offset, snap=True)
+
+    def snap_time(self, t: float) -> float:
+        if not self.snap:
+            return t
+        tick = self.beat_length / BEAT_DIVISOR
+        return round((t - self.offset) / tick) * tick + self.offset
+
+    def header_line(self) -> str:
+        # uninherited timing point: offset, beat_length, meter, sampleset,
+        # sampleindex, volume, uninherited=1, effects
+        return f"{self.offset},{self.beat_length},4,0,0,50,1,0"
+
+    @property
+    def base_slider_velocity(self) -> float:
+        """Playfield px/ms at SliderMultiplier 1 and SV x1."""
+        return SLIDER_MULT * 100.0 / self.beat_length
 
 
-def get_timings(hit_times: np.ndarray, timing_beat_len: float) -> Tuple[bool, TimingPoint]:
-    """Pick the beat offset as the densest phase bin of the onsets."""
-    offsets = hit_times % timing_beat_len
-    hist, bin_edges = np.histogram(offsets, bins=100, range=(0, timing_beat_len))
-    offset = bin_edges[np.argmax(hist)]
-    return True, TimingPoint(offset, timing_beat_len, None, 4, None)
+def _phase_concentration(times: np.ndarray, beat_length: float) -> Tuple[int, float]:
+    """(count, left-edge) of the densest of 100 phase bins modulo the beat."""
+    hist, edges = np.histogram(times % beat_length, bins=100, range=(0, beat_length))
+    k = int(np.argmax(hist))
+    return int(hist[k]), float(edges[k])
 
 
-def calculate_timing_point(
-    hit_times: np.ndarray,
-    allow_beat_snap: bool,
-    verbose: bool = True,
-) -> Tuple[bool, TimingPoint]:
-    """Detect BPM: autocorrelate inter-onset intervals, take the best peak in
-    the valid band, then fine-tune over 1000 candidates by phase-histogram
-    concentration."""
-    if not allow_beat_snap:
-        return False, TimingPoint(0, 60000 / 200, None, 4, None)
+def _refine_bpm(hit_times: np.ndarray, coarse_bpm: float, n_candidates: int = 1000) -> float:
+    """Pick the BPM in ±5% of the coarse guess whose beat grid concentrates
+    the most onsets into a single 1%-of-beat phase bin (fully vectorized)."""
+    candidates = np.linspace(coarse_bpm * 0.95, coarse_bpm * 1.05, n_candidates)
+    beat_lengths = 60000.0 / candidates  # (C,)
+    # bin index of every (candidate, onset) pair in one shot
+    phase = hit_times[None, :] % beat_lengths[:, None]
+    bins = np.minimum((phase * (100.0 / beat_lengths[:, None])).astype(np.int64), 99)
+    flat = (bins + 100 * np.arange(n_candidates)[:, None]).ravel()
+    counts = np.bincount(flat, minlength=100 * n_candidates).reshape(n_candidates, 100)
+    return float(candidates[int(np.argmax(counts.max(axis=1)))])
 
-    time_diffs = np.diff(hit_times)
-    autocorr = sp_signal.correlate(time_diffs, time_diffs, mode="full")
-    autocorr = autocorr[len(autocorr) // 2 :]
 
-    valid_periods = 60000 / np.arange(MIN_BPM, MAX_BPM + 1, 1)
-    peaks, _ = sp_signal.find_peaks(autocorr, distance=valid_periods.min())
+def estimate_tempo(hit_times: np.ndarray, verbose: bool = True) -> TempoGrid:
+    """Autocorrelation tempo detector over the onset sequence.
 
-    valid_peaks = peaks[(valid_periods.min() * 0.95 <= peaks) & (peaks <= valid_periods.max() * 1.05)]
-    if len(valid_peaks) == 0:
+    The lag spectrum of inter-onset gaps peaks at the beat period (and its
+    multiples); the strongest peak inside the [MIN_BPM, MAX_BPM] band seeds a
+    ±5% refinement scored by phase concentration.
+    """
+    gaps = np.diff(hit_times)
+    lags = sp_signal.correlate(gaps, gaps, mode="full")
+    lags = lags[lags.shape[0] // 2 :]  # non-negative lags only
+
+    period_band = (60000.0 / MAX_BPM, 60000.0 / MIN_BPM)
+    peaks, _ = sp_signal.find_peaks(lags, distance=period_band[0])
+    peaks = peaks[(peaks >= period_band[0] * 0.95) & (peaks <= period_band[1] * 1.05)]
+    if peaks.size == 0:
         if verbose:
             print("Warning: no valid BPM found within the range, disabling beat snap")
-        return False, TimingPoint(0, 60000 / 200, None, 4, None)
+        return TempoGrid.free()
 
-    best_peak = valid_peaks[np.argmax(autocorr[valid_peaks])]
-    initial_bpm = 60000 / best_peak
-
-    fine_tune_range = np.linspace(initial_bpm * 0.95, initial_bpm * 1.05, 1000)
-    # Vectorized fine-tune: score every candidate BPM by its max phase-bin count
-    beat_lengths = 60000 / fine_tune_range  # (1000,)
-    phases = hit_times[None, :] % beat_lengths[:, None]  # (1000, K)
-    bins = np.floor(phases / (beat_lengths[:, None] / 100)).astype(int)
-    bins = np.minimum(bins, 99)
-    scores = np.zeros(1000, dtype=np.int64)
-    for i in range(1000):
-        scores[i] = np.bincount(bins[i], minlength=100).max()
-
-    best_bpm = fine_tune_range[int(np.argmax(scores))]
-    return get_timings(hit_times, 60000 / best_bpm)
+    coarse_bpm = 60000.0 / float(peaks[np.argmax(lags[peaks])])
+    best_bpm = _refine_bpm(hit_times, coarse_bpm)
+    return TempoGrid.from_beat_length(60000.0 / best_bpm, hit_times)
 
 
-def snap_to_beat(t: float, u: float, beat_offset: float, beat_length: float) -> Tuple[float, float]:
-    beat_f_len = beat_length / BEAT_DIVISOR
-    t = round((t - beat_offset) / beat_f_len) * beat_f_len + beat_offset
-    u = round((u - beat_offset) / beat_f_len) * beat_f_len + beat_offset
-    return t, u
+# --------------------------------------------------------------------------
+# Signal -> event table
+# --------------------------------------------------------------------------
 
 
-def decode_beatmap(  # noqa: C901
+@dataclass(frozen=True)
+class OnsetEvents:
+    """Per-onset decode table (frame indices; -1 where a region is absent)."""
+
+    frames: np.ndarray  # (K,) int
+    new_combo: np.ndarray  # (K,) bool
+    sustain_end: np.ndarray  # (K,) int
+    slide_end: np.ndarray  # (K,) int
+
+
+def _ends_by_onset(onsets: np.ndarray, starts: Sequence[int], ends: Sequence[int]) -> np.ndarray:
+    """Scatter each region's end frame onto the onset whose frame equals the
+    region's start frame; onsets with no region get -1."""
+    out = np.full(onsets.shape, -1, dtype=np.int64)
+    n_regions = min(len(starts), len(ends))  # a trailing start may lack its end
+    if n_regions == 0 or onsets.size == 0:
+        return out
+    starts_arr = np.asarray(starts[:n_regions], dtype=np.int64)
+    ends_arr = np.asarray(ends[:n_regions], dtype=np.int64)
+    pos = np.searchsorted(onsets, starts_arr)
+    in_range = pos < onsets.size
+    exact = np.zeros_like(in_range)
+    exact[in_range] = onsets[pos[in_range]] == starts_arr[in_range]
+    out[pos[exact]] = ends_arr[exact]
+    return out
+
+
+def _extract_events(hit_channels: np.ndarray) -> OnsetEvents:
+    """Binarized (4, T) hit channels -> per-onset event table."""
+    onsets = np.asarray(decode_flips(hit_channels[BeatmapEncoding.HIT]), dtype=np.int64)
+    combo_frames = np.asarray(decode_flips(hit_channels[BeatmapEncoding.COMBO]), dtype=np.int64)
+    return OnsetEvents(
+        frames=onsets,
+        new_combo=np.isin(onsets, combo_frames),
+        sustain_end=_ends_by_onset(onsets, *decode_extents(hit_channels[BeatmapEncoding.SUSTAIN])),
+        slide_end=_ends_by_onset(onsets, *decode_extents(hit_channels[BeatmapEncoding.SLIDER])),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hit-object IR
+# --------------------------------------------------------------------------
+
+
+def _combo_bit(new_combo: bool) -> int:
+    return _TYPE_NEW_COMBO if new_combo else 0
+
+
+@dataclass(frozen=True)
+class CircleIR:
+    t: int
+    x: int
+    y: int
+    new_combo: bool
+
+    def object_line(self) -> str:
+        return f"{self.x},{self.y},{self.t},{_TYPE_CIRCLE + _combo_bit(self.new_combo)},0,0:0:0:0:"
+
+
+@dataclass(frozen=True)
+class SpinnerIR:
+    t: int
+    end_t: int
+    new_combo: bool
+
+    def object_line(self) -> str:
+        return f"256,192,{self.t},{_TYPE_SPINNER + _combo_bit(self.new_combo)},0,{self.end_t}"
+
+
+@dataclass(frozen=True)
+class SliderIR:
+    t: int
+    end_t: int
+    anchors: Tuple[Tuple[int, int], ...]  # rounded control points, head first
+    length: float  # px, one slide
+    slides: int
+    new_combo: bool
+
+    def object_line(self) -> str:
+        head_x, head_y = self.anchors[0]
+        path = "|".join(f"{x}:{y}" for x, y in self.anchors[1:])
+        return (
+            f"{head_x},{head_y},{self.t},{_TYPE_SLIDER + _combo_bit(self.new_combo)},0,"
+            f"B|{path},{self.slides},{self.length}"
+        )
+
+    def velocity_line(self, grid: TempoGrid, verbose: bool) -> str:
+        """Inherited timing point setting this slider's velocity so it spans
+        exactly [t, end_t]."""
+        px_per_ms = self.length * self.slides / (self.end_t - self.t)
+        sv = px_per_ms / grid.base_slider_velocity
+        sv = 1 if sv == 0 else sv
+        if (sv > 10 or sv < 0.1) and verbose:
+            print(f"Warning: slider velocity {sv} is out of bounds, slider will not be good")
+        return f"{self.t},{-100 / sv},4,0,0,50,0,0"
+
+
+HitObjectIR = Union[CircleIR, SpinnerIR, SliderIR]
+
+
+def fit_slider_path(points: np.ndarray, max_err: float = 50.0) -> Tuple[float, List[Tuple[int, int]]]:
+    """Least-squares piecewise-Bézier fit of one slide's cursor trace.
+
+    Returns (pixel length, rounded anchor list). Anchors concatenate all
+    fitted segments' control points, so consecutive segments share their
+    join anchor twice — the .osu red-anchor convention.
+    """
+    anchors: List[Tuple[int, int]] = []
+    total_length = 0.0
+    for segment in fit_bezier(points, max_err=max_err):
+        segment = segment.round()
+        anchors.extend((int(px), int(py)) for px, py in segment)
+        total_length += get_segment_length(segment)
+    return total_length, anchors
+
+
+def _classify_onset(
+    k: int,
+    events: OnsetEvents,
+    cursor_xy: np.ndarray,  # (T, 2) playfield px
+    frame_times: np.ndarray,
+    grid: TempoGrid,
+) -> HitObjectIR:
+    """Decide what hit object onset ``k`` is and build its IR."""
+    frame = int(events.frames[k])
+    new_combo = bool(events.new_combo[k])
+    sustain_end = int(events.sustain_end[k])
+    slide_end = int(events.slide_end[k])
+
+    t = grid.snap_time(float(frame_times[frame]))
+    u = grid.snap_time(float(frame_times[sustain_end]))
+    # .osu v14 stores times as integer milliseconds (the reference emitted
+    # raw floats here, producing files its own parser rejects)
+    t, u = int(round(t)), int(round(u))
+
+    x, y = (int(v) for v in cursor_xy[frame].round())
+    circle = CircleIR(t, x, y, new_combo)
+
+    if sustain_end < 0 or sustain_end - frame < _MIN_SPAN_FRAMES:
+        return circle  # no sustain, or too short to mean anything
+    if slide_end < 0:
+        return SpinnerIR(t, u, new_combo)  # held but motionless
+    if slide_end - frame < _MIN_SPAN_FRAMES:
+        return circle  # slide region too short
+
+    slides = max(1, round((sustain_end - frame) / (slide_end - frame)))
+    first_slide_stop = round(frame + (sustain_end - frame) / slides)
+    length, anchors = fit_slider_path(cursor_xy[frame : first_slide_stop + 1])
+    if length == 0:
+        return circle  # degenerate path (reference also emitted a bad slider line)
+    return SliderIR(t, u, tuple(anchors), length, slides, new_combo)
+
+
+# --------------------------------------------------------------------------
+# Rendering
+# --------------------------------------------------------------------------
+
+
+def _render_osu(metadata: Metadata, timing_lines: Sequence[str], object_lines: Sequence[str]) -> str:
+    sections: List[Tuple[str, List[str]]] = [
+        (
+            "General",
+            [f"AudioFilename: {metadata.audio_filename}", "AudioLeadIn: 0", "Mode: 0"],
+        ),
+        (
+            "Metadata",
+            [
+                f"Title: {metadata.title}",
+                f"TitleUnicode: {metadata.title}",
+                f"Artist: {metadata.artist}",
+                f"ArtistUnicode: {metadata.artist}",
+                "Creator: OsuFusion",
+                f"Version: {metadata.version}",
+                "Tags: OsuFusion",
+            ],
+        ),
+        (
+            "Difficulty",
+            [
+                f"HPDrainRate: {metadata.hp}",
+                f"CircleSize: {metadata.cs}",
+                f"OverallDifficulty: {metadata.od}",
+                f"ApproachRate: {metadata.ar}",
+                "SliderMultiplier: 1",
+                "SliderTickRate: 1",
+            ],
+        ),
+        ("TimingPoints", list(timing_lines)),
+        ("HitObjects", list(object_lines)),
+    ]
+    out = ["osu file format v14"]
+    for name, lines in sections:
+        out.append("")
+        out.append(f"[{name}]")
+        out.extend(lines)
+    return "\n".join(out) + "\n"
+
+
+# --------------------------------------------------------------------------
+# Entry point
+# --------------------------------------------------------------------------
+
+
+def decode_beatmap(
     metadata: Metadata,
     encoded_beatmap: np.ndarray,
     frame_times: np.ndarray,
@@ -162,99 +364,26 @@ def decode_beatmap(  # noqa: C901
     allow_beat_snap: bool = True,
     verbose: bool = True,
 ) -> str:
-    hit_signals = encoded_beatmap[
-        [BeatmapEncoding.HIT, BeatmapEncoding.SUSTAIN, BeatmapEncoding.SLIDER, BeatmapEncoding.COMBO]
-    ]
-    hit_signals = np.where(hit_signals > 0, 1.0, -1.0)
-    cursor_signals = encoded_beatmap[[BeatmapEncoding.CURSOR_X, BeatmapEncoding.CURSOR_Y]]
-    cursor_signals = ((cursor_signals + 1) / 2) * np.array([[512], [384]])
+    """Decode a (6, T) signal tensor into ``.osu`` v14 text."""
+    hit_channels = np.where(encoded_beatmap[: BeatmapEncoding.CURSOR_X] > 0, 1.0, -1.0)
+    cursor_xy = ((encoded_beatmap[[BeatmapEncoding.CURSOR_X, BeatmapEncoding.CURSOR_Y]].T + 1) / 2) * PLAYFIELD
 
-    hit_locs = decode_flips(hit_signals[BeatmapEncoding.HIT])
-    loc2idx = np.full_like(frame_times, -1, dtype=int)
-    for i, onset_idx in enumerate(hit_locs):
-        loc2idx[onset_idx] = i
+    events = _extract_events(hit_channels)
+    hit_times = frame_times[events.frames]
 
-    new_combos = [False] * len(hit_locs)
-    for combo_loc in decode_flips(hit_signals[BeatmapEncoding.COMBO]):
-        if loc2idx[combo_loc] != -1:
-            new_combos[loc2idx[combo_loc]] = True
-
-    sustain_ends = [-1] * len(hit_locs)
-    for sustain_start, sustain_end in zip(*decode_extents(hit_signals[BeatmapEncoding.SUSTAIN])):
-        onset_idx = loc2idx[sustain_start]
-        if onset_idx == -1:
-            continue
-        sustain_ends[onset_idx] = sustain_end
-
-    slider_ends = [-1] * len(hit_locs)
-    for slider_start, slider_end in zip(*decode_extents(hit_signals[BeatmapEncoding.SLIDER])):
-        onset_idx = loc2idx[slider_start]
-        if onset_idx == -1:
-            continue
-        slider_ends[onset_idx] = slider_end
-
-    hos: List[str] = []
-    tps: List[str] = []
-
-    hit_times = frame_times[hit_locs]
     if bpm is not None:
-        beat_snap, timing_point = get_timings(hit_times, 60000 / bpm)
+        grid = TempoGrid.from_beat_length(60000.0 / bpm, hit_times)
+    elif allow_beat_snap:
+        grid = estimate_tempo(hit_times, verbose)
     else:
-        beat_snap, timing_point = calculate_timing_point(hit_times, allow_beat_snap, verbose)
+        grid = TempoGrid.free()
 
-    beat_length = timing_point.beat_length
-    base_slider_vel = SLIDER_MULT * 100 / beat_length
-    beat_offset = timing_point.t
-    tps.append(f"{timing_point.t},{timing_point.beat_length},{timing_point.meter},0,0,50,1,0")
+    timing_lines = [grid.header_line()]
+    object_lines: List[str] = []
+    for k in range(events.frames.size):
+        ir = _classify_onset(k, events, cursor_xy, frame_times, grid)
+        object_lines.append(ir.object_line())
+        if isinstance(ir, SliderIR):
+            timing_lines.append(ir.velocity_line(grid, verbose))
 
-    for hit_loc, new_combo, sustain_end, slider_end in zip(hit_locs, new_combos, sustain_ends, slider_ends):
-        x, y = cursor_signals[:, hit_loc].round().astype(int)
-        t = frame_times[hit_loc]
-        u = frame_times[sustain_end]
-        combo_bit = 2**2 if new_combo else 0
-
-        if beat_snap:
-            t, u = snap_to_beat(t, u, beat_offset, beat_length)
-
-        # .osu v14 stores times as integer milliseconds (the reference emitted
-        # raw floats here, producing files its own parser rejects)
-        t = int(round(t))
-        u = int(round(u))
-
-        if sustain_end == -1 or sustain_end - hit_loc < 4:
-            # no sustain, or sustain too short: plain circle
-            hos.append(f"{x},{y},{t},{2**0 + combo_bit},0,0:0:0:0:")
-            continue
-
-        if slider_end == -1:
-            # sustained without slider motion: spinner
-            hos.append(f"256,192,{t},{2**3 + combo_bit},0,{u}")
-            continue
-
-        if slider_end - hit_loc < 4:
-            hos.append(f"{x},{y},{t},{2**0 + combo_bit},0,0:0:0:0:")
-            continue
-
-        num_slides = max(1, round((sustain_end - hit_loc) / (slider_end - hit_loc)))
-        length, control_points = slider_decoder(cursor_signals, hit_loc, sustain_end, num_slides)
-
-        if length == 0:
-            hos.append(f"{x},{y},{t},{2**0 + combo_bit},0,0:0:0:0:")
-            continue
-
-        x1, y1 = (int(v) for v in control_points[0])
-        curve_points = "|".join(f"{int(cx)}:{int(cy)}" for cx, cy in control_points[1:])
-        hos.append(f"{x1},{y1},{t},{2**1 + combo_bit},0,B|{curve_points},{num_slides},{length}")
-
-        vel = length * num_slides / (u - t)
-        slider_vel = vel / base_slider_vel
-        slider_vel = 1 if slider_vel == 0 else slider_vel
-        if (slider_vel > 10 or slider_vel < 0.1) and verbose:
-            print(f"Warning: slider velocity {slider_vel} is out of bounds, slider will not be good")
-        tps.append(f"{t},{-100 / slider_vel},4,0,0,50,0,0")
-
-    return MAP_TEMPLATE.format(
-        **asdict(metadata),
-        timing_points="\n".join(tps),
-        hit_objects="\n".join(hos),
-    )
+    return _render_osu(metadata, timing_lines, object_lines)

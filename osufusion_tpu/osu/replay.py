@@ -1,9 +1,16 @@
 """Binary ``.osr`` replay decoder.
 
 Capability parity with reference osu_fusion/library/osu/replay.py (an orphan
-there, part of the capability surface): LEB128-prefixed strings (:46-57),
-little-endian struct fields, LZMA-compressed event stream (:106-112), lifebar
-parsing, numpy conversion and interpolated ``cursor(t)`` lookup (:166-190).
+there, part of the capability surface). The .osr format itself dictates the
+field sequence — see https://osu.ppy.sh/wiki/en/Client/File_formats/osr_(file_format):
+a mode byte, client version, three ULEB128-prefixed strings, judgement
+counts, score/combo/mods, the lifebar graph, a .NET-ticks timestamp, an
+LZMA-compressed ``delta|x|y|keys`` event stream, and the online replay id.
+
+Design (original to this repo): the header is parsed from a declarative
+field table driven by a small cursor-based ``_Reader``; the event stream is
+decoded into a single (N, 4) numpy array with ``np.cumsum`` over the time
+deltas, and ``cursor(t)`` interpolates with ``np.interp``.
 """
 
 from __future__ import annotations
@@ -34,159 +41,154 @@ class Key(IntEnum):
     SMOKE = 1 << 4
 
 
-@dataclass
-class ReplayEventOsu:
-    time_delta: int
-    x: float
-    y: float
-    keys: int
-
-
-@dataclass
+@dataclass(frozen=True)
 class LifeBarState:
     time: int
     life: float
 
 
-class _Unpacker:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.offset = 0
+# sentinel time-delta of the trailing RNG-seed pseudo-event (modern clients)
+_RNG_SEED_MARKER = -12345
 
-    def string_length(self) -> int:
-        # ULEB128
-        out = 0
-        shift = 0
+# .NET epoch (0001-01-01) in ticks of 100 ns
+_TICKS_PER_US = 10
+
+
+class _Reader:
+    """Cursor over a bytes buffer with the three .osr primitive readers."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+
+    def scalar(self, fmt: str):
+        (value,) = struct.unpack_from("<" + fmt, self.buf, self.pos)
+        self.pos += struct.calcsize("<" + fmt)
+        return value
+
+    def take(self, n: int) -> bytes:
+        chunk = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return chunk
+
+    def uleb128(self) -> int:
+        value, shift = 0, 0
         while True:
-            b = self.data[self.offset]
-            self.offset += 1
-            out |= (b & 0x7F) << shift
-            if not (b & 0x80):
-                break
+            byte = self.buf[self.pos]
+            self.pos += 1
+            value |= (byte & 0x7F) << shift
+            if byte < 0x80:
+                return value
             shift += 7
-        return out
 
-    def unpack_string(self) -> Optional[str]:
-        marker = self.data[self.offset]
-        if marker not in (0x0, 0x0B):
-            raise ValueError("Invalid string type")
-        self.offset += 1
-        if marker == 0x0:
+    def string(self) -> Optional[str]:
+        marker = self.scalar("B")
+        if marker == 0x00:
             return None
-        length = self.string_length()
-        out = self.data[self.offset : self.offset + length].decode("utf-8")
-        self.offset += length
-        return out
+        if marker != 0x0B:
+            raise ValueError(f"Invalid string type 0x{marker:02x}")
+        return self.take(self.uleb128()).decode("utf-8")
 
-    def unpack_once(self, fmt: str):
-        specifier = f"<{fmt}"
-        unpacked = struct.unpack_from(specifier, self.data, self.offset)
-        self.offset += struct.calcsize(specifier)
-        return unpacked[0]
 
-    def unpack_timestamp(self) -> datetime.datetime:
-        ticks = self.unpack_once("q")
-        # .NET ticks: 100 ns since 0001-01-01
-        ts = datetime.datetime.min + datetime.timedelta(microseconds=ticks / 10)
-        return ts.replace(tzinfo=datetime.timezone.utc)
+def _parse_lifebar(text: Optional[str]) -> Optional[List[LifeBarState]]:
+    """``time|life,...`` pairs -> LifeBarState list (None when absent)."""
+    if not text:
+        return None
+    states = []
+    for entry in text.rstrip(",").split(","):
+        time_str, life_str = entry.split("|")[:2]
+        states.append(LifeBarState(int(float(time_str)), float(life_str)))
+    return states
 
-    @staticmethod
-    def parse_replay_data(replay_data_str: str) -> Tuple[Optional[int], List[ReplayEventOsu]]:
-        replay_data_str = replay_data_str.rstrip(",")
-        events = [event.split("|") for event in replay_data_str.split(",")]
 
-        rng_seed = None
-        play_data = []
-        for i, event in enumerate(events):
-            time_delta = int(event[0])
-            x = float(event[1])
-            y = float(event[2])
-            keys = int(event[3])
-            # modern clients append an RNG-seed pseudo-event at the end
-            if time_delta == -12345 and i == len(events) - 1:
-                rng_seed = keys
-                continue
-            play_data.append(ReplayEventOsu(time_delta, x, y, keys))
-        return rng_seed, play_data
+def _parse_events(stream: bytes) -> Tuple[Optional[int], np.ndarray]:
+    """LZMA event stream -> (rng_seed, (N, 3) float32 [abs_time, x, y]).
 
-    def unpack_replay_data(self) -> Tuple[Optional[int], List[ReplayEventOsu]]:
-        length = self.unpack_once("i")
-        data = self.data[self.offset : self.offset + length]
-        data = lzma.decompress(data, format=lzma.FORMAT_AUTO)
-        self.offset += length
-        return self.parse_replay_data(data.decode("ascii"))
+    Events arrive as ``delta|x|y|keys`` quadruples; deltas accumulate into
+    absolute times, and the result is time-sorted.
+    """
+    text = lzma.decompress(stream, format=lzma.FORMAT_AUTO).decode("ascii").rstrip(",")
+    if not text:
+        return None, np.zeros((0, 3), dtype=np.float32)
 
-    def unpack_replay_id(self) -> int:
-        try:
-            return self.unpack_once("q")
-        except struct.error:
-            return self.unpack_once("l")
+    fields = np.array([e.split("|") for e in text.split(",")], dtype=np.float64)
 
-    def unpack_life_bar(self) -> Optional[List[LifeBarState]]:
-        lifebar = self.unpack_string()
-        if lifebar is None or lifebar == "":
-            return None
-        lifebar = lifebar.rstrip(",")
-        states = [state.split("|") for state in lifebar.split(",")]
-        return [LifeBarState(int(float(s[0])), float(s[1])) for s in states]
+    rng_seed = None
+    if fields.shape[0] and fields[-1, 0] == _RNG_SEED_MARKER:
+        rng_seed = int(fields[-1, 3])  # seed rides in the keys column
+        fields = fields[:-1]
+
+    times = np.cumsum(fields[:, 0])
+    table = np.column_stack([times, fields[:, 1], fields[:, 2]]).astype(np.float32)
+    return rng_seed, table[table[:, 0].argsort()]
 
 
 class Replay:
-    """Parsed .osr replay with the interpolated cursor surface."""
+    """Parsed .osr replay with an interpolated cursor surface.
+
+    Exposes every header field by name plus ``events`` (time-sorted (N, 3)
+    ``[abs_ms, x, y]``), ``rng_seed``, and ``cursor(t)``.
+    """
+
+    # (attribute, struct format) pairs in on-disk order; "s" = .osr string
+    _HEADER = (
+        ("game_version", "i"),
+        ("beatmap_hash", "s"),
+        ("username", "s"),
+        ("replay_hash", "s"),
+        ("count_300", "h"),
+        ("count_100", "h"),
+        ("count_50", "h"),
+        ("count_geki", "h"),
+        ("count_katu", "h"),
+        ("count_miss", "h"),
+        ("score", "i"),
+        ("max_combo", "h"),
+        ("perfect", "?"),
+        ("mods", "i"),
+    )
 
     def __init__(self, replay_path: str, to_np: bool = True) -> None:
-        u = _Unpacker(Path(replay_path).read_bytes())
+        # to_np kept for reference-API compatibility; the numpy table is
+        # always built (there is no non-numpy consumer in this repo)
+        del to_np
+        r = _Reader(Path(replay_path).read_bytes())
 
-        self.mode = GameMode(u.unpack_once("b"))
-        if self.mode != GameMode.STANDARD:
+        self.mode = GameMode(r.scalar("b"))
+        if self.mode is not GameMode.STANDARD:
             raise ValueError("Invalid game mode")
 
-        self.game_version = u.unpack_once("i")
-        self.beatmap_hash = u.unpack_string()
-        self.username = u.unpack_string()
-        self.replay_hash = u.unpack_string()
-        self.count_300 = u.unpack_once("h")
-        self.count_100 = u.unpack_once("h")
-        self.count_50 = u.unpack_once("h")
-        self.count_geki = u.unpack_once("h")
-        self.count_katu = u.unpack_once("h")
-        self.count_miss = u.unpack_once("h")
-        self.score = u.unpack_once("i")
-        self.max_combo = u.unpack_once("h")
-        self.perfect = u.unpack_once("?")
-        self.mods = u.unpack_once("i")
-        self.life_bar = u.unpack_life_bar()
-        self.timestamp = u.unpack_timestamp()
-        self.rng_seed, self._replay_data = u.unpack_replay_data()
-        self.replay_id = u.unpack_replay_id()
+        for name, fmt in self._HEADER:
+            setattr(self, name, r.string() if fmt == "s" else r.scalar(fmt))
 
-        self.to_np = to_np
-        if to_np:
-            self.replay_data_to_np()
+        self.life_bar = _parse_lifebar(r.string())
 
-    def replay_data_to_np(self) -> None:
-        t = 0
-        arr = np.zeros((len(self._replay_data), 3), dtype=np.float32)
-        for i, event in enumerate(self._replay_data):
-            t += event.time_delta
-            arr[i] = [float(t), event.x, event.y]
-        self._replay_data = arr[arr[:, 0].argsort()]
+        ticks = r.scalar("q")
+        self.timestamp = (
+            datetime.datetime.min + datetime.timedelta(microseconds=ticks / _TICKS_PER_US)
+        ).replace(tzinfo=datetime.timezone.utc)
+
+        self.rng_seed, self._events = _parse_events(r.take(r.scalar("i")))
+
+        try:
+            self.replay_id = r.scalar("q")
+        except struct.error:  # pre-2014 replays store a 32-bit id
+            self.replay_id = r.scalar("l")
 
     @property
     def events(self) -> np.ndarray:
-        return self._replay_data
+        return self._events
 
     def cursor(self, t: float) -> Tuple[Tuple[float, float], float]:
-        """Interpolated cursor position at absolute time t (ms), plus time
-        until the next event."""
-        assert self.to_np, "Replay data is not in numpy format"
-        idx = int(np.searchsorted(self._replay_data[:, 0], t, side="right")) - 1
-        if idx < 0:
+        """Cursor position at absolute time t (ms) by linear interpolation,
+        plus the time remaining until the next recorded event."""
+        times = self._events[:, 0]
+        if self._events.shape[0] == 0 or t < times[0]:
             raise ValueError(f"Replay data does not contain any events before {t}")
-        if idx == len(self._replay_data) - 1:
-            return (float(self._replay_data[idx, 1]), float(self._replay_data[idx, 2])), 0.0
-
-        t0, x0, y0 = self._replay_data[idx]
-        t1, x1, y1 = self._replay_data[idx + 1]
-        alpha = (t - t0) / (t1 - t0)
-        return (float(x0 + alpha * (x1 - x0)), float(y0 + alpha * (y1 - y0))), float(t1 - t)
+        x = float(np.interp(t, times, self._events[:, 1]))
+        y = float(np.interp(t, times, self._events[:, 2]))
+        nxt = int(np.searchsorted(times, t, side="right"))
+        until_next = float(times[nxt] - t) if nxt < times.shape[0] else 0.0
+        return (x, y), until_next
