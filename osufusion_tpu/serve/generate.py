@@ -27,7 +27,7 @@ from osufusion_tpu.utils.serialization import load_safetensors
 # pad generated lengths to a multiple of this so the flash-attention kernel
 # tiles every UNet level (128 at the deepest of 4 levels) and XLA sees few
 # distinct shapes
-LENGTH_BUCKET = 1024
+LENGTH_BUCKET = 8192
 
 
 def load_model(model_path: Path, config_path: Optional[Path] = None):

@@ -8,7 +8,7 @@ MACs x2; attention counts the actual visited-KV span of the windowed kernel.
 from __future__ import annotations
 
 from osufusion_tpu.config import ModelConfig
-from osufusion_tpu.ops.pallas_attention import _choose_blocks, _kv_span_blocks
+from osufusion_tpu.ops.pallas_attention import _choose_blocks, _span_visits
 
 
 def _conv(B: int, T: int, cin: int, cout: int, k: int) -> float:
@@ -27,8 +27,7 @@ def _attention(B: int, T: int, heads: int, dh: int, kv_heads: int, window: int |
     if window is None:
         visited = T
     else:
-        _, n_visit = _kv_span_blocks(window, bq, bk, T // bk)
-        visited = min(T, n_visit * bk)
+        visited = min(T, _span_visits(window, bq, bk, T // bk) * bk)
     return 4.0 * B * heads * T * visited * dh
 
 
