@@ -17,8 +17,8 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from osufusion_tpu.ops.attention import sdpa
-from osufusion_tpu.ops.rope import apply_rope, rope_tables
+from osufusion_tpu.ops.attention import sdpa, sdpa_headmajor
+from osufusion_tpu.ops.rope import apply_rope_headmajor, rope_tables
 from osufusion_tpu.utils.profiling import named_scope
 
 Dtype = jnp.dtype
@@ -287,16 +287,20 @@ class Attention(nn.Module):
         )(x)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        q = q.reshape(B, T, self.heads, self.dim_head)
-        k = k.reshape(B, T, self.kv_heads, self.dim_head)
-        v = v.reshape(B, T, self.kv_heads, self.dim_head)
+        # head-major pipeline: the (B,T,H,D)->(B,H,T,D) transposes fuse into
+        # the RoPE elementwise pass, and the Pallas kernel consumes/produces
+        # head-major blocks natively -- no standalone layout copies
+        q = q.reshape(B, T, self.heads, self.dim_head).swapaxes(1, 2)
+        k = k.reshape(B, T, self.kv_heads, self.dim_head).swapaxes(1, 2)
+        v = v.reshape(B, T, self.kv_heads, self.dim_head).swapaxes(1, 2)
 
         cos, sin = rope_tables(T, self.dim_head, scale_base=self.context_len)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope_headmajor(q, cos, sin)
+        k = apply_rope_headmajor(k, cos, sin)
 
         window = self.context_len if self.local else None
-        out = sdpa(q, k, v, backend=self.backend, window=window).reshape(B, T, self.heads * self.dim_head)
+        out = sdpa_headmajor(q, k, v, backend=self.backend, window=window)
+        out = out.swapaxes(1, 2).reshape(B, T, self.heads * self.dim_head)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(out)
         return x + out
 

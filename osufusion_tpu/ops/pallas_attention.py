@@ -467,15 +467,19 @@ def flash_attention_available(t: int, s: int, d: int) -> bool:
     return d % 64 == 0 and _pick_block(t, 512) > 0 and _pick_block(s, DEFAULT_BLOCK_K) > 0
 
 
-def flash_attention(
-    q: jnp.ndarray,  # (B, T, H, D)
-    k: jnp.ndarray,  # (B, S, Kv, D)
-    v: jnp.ndarray,  # (B, S, Kv, D)
+def flash_attention_headmajor(
+    qh: jnp.ndarray,  # (B, H, T, D)
+    kh: jnp.ndarray,  # (B, Kv, S, D)
+    vh: jnp.ndarray,  # (B, Kv, S, D)
     window: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Sequence-major GQA flash attention, optionally windowed. (B, T, H, D)."""
-    B, T, H, D = q.shape
-    S, Kv = k.shape[1], k.shape[2]
+    """Head-major GQA flash attention, optionally windowed. Returns
+    (B, H, T, D). This is the kernel's NATIVE layout — callers that already
+    hold head-major activations (the UNet attention layer, whose RoPE pass
+    produces them) avoid every XLA-side transpose: the softmax scale and
+    exp2-domain factor below fuse into the upstream elementwise pass."""
+    B, H, T, D = qh.shape
+    S, Kv = kh.shape[2], kh.shape[1]
     assert H % Kv == 0
     group = H // Kv
     bq, bk = _choose_blocks(T, S, group)
@@ -483,11 +487,18 @@ def flash_attention(
     if window is not None and window // 2 >= S - 1:
         window = None  # window covers everything: run the global path
 
-    # fold the softmax scale AND the exp2-domain conversion into q: one fused
-    # multiply on the (cheap) layout change instead of a per-chunk pass
-    qh = jnp.swapaxes(q, 1, 2) * jnp.asarray(D**-0.5 * LOG2E, q.dtype)  # (B, H, T, D)
-    kh = jnp.swapaxes(k, 1, 2)  # (B, Kv, S, D)
-    vh = jnp.swapaxes(v, 1, 2)
+    qh = qh * jnp.asarray(D**-0.5 * LOG2E, qh.dtype)
+    return _flash_attention_headmajor(qh, kh, vh, group, bq, bk, window, _INFERENCE.get())
 
-    oh = _flash_attention_headmajor(qh, kh, vh, group, bq, bk, window, _INFERENCE.get())
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, T, H, D)
+    k: jnp.ndarray,  # (B, S, Kv, D)
+    v: jnp.ndarray,  # (B, S, Kv, D)
+    window: Optional[int] = None,
+) -> jnp.ndarray:
+    """Sequence-major GQA flash attention, optionally windowed. (B, T, H, D)."""
+    oh = flash_attention_headmajor(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), window
+    )
     return jnp.swapaxes(oh, 1, 2)

@@ -30,11 +30,27 @@ def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: (..., seq, heads, dim) or (..., seq, dim); rotation applied in fp32."""
-    orig_dtype = x.dtype
-    x32 = x.astype(jnp.float32)
+    """x: (..., seq, heads, dim) or (..., seq, dim); fp32 rotation for fp32 x.
+
+    For low-precision activations the fp32 TABLES are cast to the activation
+    dtype and the rotation runs in that dtype: the reference's fp32-rope
+    output is immediately quantized back to bf16 by its SDPA autocast
+    (osu_fusion/modules/attention.py:87-93), so quantizing the tables before
+    the multiply instead of after differs by at most one ulp — while halving
+    the bytes of what profiles as the single most expensive elementwise pass
+    in the denoiser (the rotate-half slice/negate/concat over (B,H,T,D))."""
     if x.ndim == 4:  # (B, T, H, D): broadcast tables over heads
         cos = cos[None, :, None, :]
         sin = sin[None, :, None, :]
-    out = x32 * cos + rotate_half(x32) * sin
-    return out.astype(orig_dtype)
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    return x * cos + rotate_half(x) * sin
+
+
+def apply_rope_headmajor(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, H, T, D) head-major; tables (T, D). Same dtype policy as
+    ``apply_rope``. Head-major lets XLA fuse the preceding (B,T,H,D) ->
+    (B,H,T,D) transpose into this elementwise pass."""
+    cos = cos[None, None].astype(x.dtype)
+    sin = sin[None, None].astype(x.dtype)
+    return x * cos + rotate_half(x) * sin
