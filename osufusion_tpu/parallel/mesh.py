@@ -72,6 +72,35 @@ def _spec_for_param(path: str, shape: tuple, model_size: int) -> P:
     return P()
 
 
+def zero1_shardings(tree, mesh: Mesh, base_shardings=None):
+    """ZeRO-1 style NamedShardings for an optimizer-moment (or adapter) tree.
+
+    Starting from each leaf's base sharding (its tensor-parallel placement, or
+    replicated when ``base_shardings`` is None), shard the largest
+    still-unsharded divisible dim over ``data``. GSPMD keeps the update math
+    correct while the per-chip optimizer footprint drops by the data-axis size
+    — the TPU-native equivalent of DeepSpeed ZeRO stage 1 that the reference
+    never had (its Accelerate DDP replicates all optimizer state,
+    reference trainer.py:211-269)."""
+    data_size = mesh.shape["data"]
+    rep = replicated(mesh)
+    if base_shardings is None:
+        base_shardings = jax.tree.map(lambda _: rep, tree)
+
+    def assign(ns, p):
+        if data_size == 1 or not hasattr(p, "shape") or p.ndim == 0:
+            return ns
+        spec = list(ns.spec) + [None] * (p.ndim - len(ns.spec))
+        order = sorted(range(p.ndim), key=lambda d: -p.shape[d])
+        for d in order:
+            if spec[d] is None and p.shape[d] % data_size == 0:
+                spec[d] = "data"
+                break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(assign, base_shardings, tree)
+
+
 def param_shardings(params, mesh: Mesh):
     """Pytree of NamedShardings matching ``params``' structure."""
     model_size = mesh.shape["model"]

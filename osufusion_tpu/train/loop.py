@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from osufusion_tpu.config import Config
 from osufusion_tpu.models.base import GenerativeModel
-from osufusion_tpu.parallel.mesh import param_shardings, replicated
+from osufusion_tpu.parallel.mesh import param_shardings, replicated, zero1_shardings
 
 
 @struct.dataclass
@@ -80,29 +80,14 @@ def shard_state(state: TrainState, mesh: Mesh, shard_opt_state: bool = True) -> 
     p_shard = param_shardings(state.params, mesh)
     rep = replicated(mesh)
 
-    data_size = mesh.shape["data"]
-    use_zero = shard_opt_state and data_size > 1
-
-    def moment_shard(param_sharding):
-        def assign(ns, p):
-            if not use_zero or not hasattr(p, "shape") or p.ndim == 0:
-                return ns
-            spec = list(ns.spec) + [None] * (p.ndim - len(ns.spec))
-            # shard the largest still-unsharded dim over data
-            order = sorted(range(p.ndim), key=lambda d: -p.shape[d])
-            for d in order:
-                if spec[d] is None and p.shape[d] % data_size == 0:
-                    spec[d] = "data"
-                    break
-            return NamedSharding(mesh, P(*spec))
-
-        return jax.tree.map(assign, param_sharding, state.params)
-
+    use_zero = shard_opt_state and mesh.shape["data"] > 1
     params_struct = jax.tree_util.tree_structure(state.params)
 
     def handle_opt(node):
         if jax.tree_util.tree_structure(node) == params_struct:
-            return moment_shard(p_shard)
+            if use_zero:
+                return zero1_shardings(state.params, mesh, base_shardings=p_shard)
+            return p_shard
         return jax.tree.map(lambda _: rep, node)
 
     opt_shardings = jax.tree.map(
@@ -207,8 +192,34 @@ def _to_saveable(state: TrainState) -> dict:
     return {"step": state.step, "params": state.params, "opt_state": state.opt_state, "rng": rng}
 
 
+def save_data_state(project_dir: Path, step: int, pipeline) -> None:
+    """Persist the input pipeline's resume position next to the checkpoint.
+
+    Positional randomness (train/data.py) makes ``{"epoch", "index"}`` the
+    FULL data-order state — the equivalent of the reference checkpointing
+    torch RNG blobs (reference trainer.py:148-177)."""
+    import json
+
+    st = {"step": step, **pipeline.state()}
+    (Path(project_dir) / "data_state.json").write_text(json.dumps(st))
+
+
+def load_data_state(project_dir: Path, current_step: int) -> Optional[dict]:
+    """Resume position saved at ``current_step``, or None (fresh data order)
+    if absent or recorded at a different step."""
+    import json
+
+    p = Path(project_dir) / "data_state.json"
+    if not p.exists():
+        return None
+    st = json.loads(p.read_text())
+    if st.get("step") != current_step:
+        return None
+    return {"epoch": int(st["epoch"]), "index": int(st["index"])}
+
+
 def data_iterator_for(cfg: Config, paths) -> Iterator:
     from osufusion_tpu.train import data as D
 
     ds = D.make_dataset(cfg.train.dataset_mode, paths, seed=cfg.train.seed, segment_length=cfg.train.segment_length)
-    return D.prefetch(D.batched(ds, cfg.train.batch_size), depth=4)
+    return D.DataPipeline(ds, cfg.train.batch_size, num_workers=cfg.train.num_workers)

@@ -129,6 +129,52 @@ def test_merge_bakes_adapters(model_and_params):
     assert jnp.isfinite(loss)
 
 
+def test_sharded_peft_step(model_and_params):
+    """BASELINE config 5: one adapter train step sharded over a data x model
+    mesh — base params on TP shardings, batch over data, adapters replicated,
+    moments ZeRO-1 sharded."""
+    import optax
+
+    from osufusion_tpu.parallel import make_mesh
+    from trainer_peft import make_peft_step, shard_peft
+
+    model, params = model_and_params
+    cfg = LoraConfig(r=4, use_dora=True)
+    adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(adapters)
+
+    mesh = make_mesh(data=4, model=2)
+    base_params, adapters, opt_state = shard_peft(params, adapters, opt_state, mesh)
+
+    # adapters replicated; at least one AdamW moment actually sharded over data
+    for leaf in jax.tree.leaves(adapters):
+        assert leaf.sharding.spec == jax.sharding.PartitionSpec()
+    moment_specs = [
+        leaf.sharding.spec
+        for node in jax.tree.leaves(opt_state, is_leaf=lambda n: isinstance(n, dict))
+        if isinstance(node, dict)
+        for leaf in jax.tree.leaves(node)
+    ]
+    assert any("data" in spec for spec in moment_specs), f"no ZeRO-sharded moment found: {moment_specs[:4]}"
+
+    step_fn = make_peft_step(model, cfg, tx, mesh)
+    x = np.random.default_rng(0).uniform(-1, 1, (4, 6, 64)).astype(np.float32)
+    a = np.random.default_rng(1).normal(-10, 1, (4, 96, 64)).astype(np.float32)
+    c = np.zeros((4, 5), dtype=np.float32)
+    ol = np.full(4, 64, dtype=np.int32)
+    rng = jax.random.PRNGKey(0)
+
+    before = jax.tree.map(np.asarray, adapters)
+    adapters, opt_state, rng, loss, grad_norm = step_fn(adapters, opt_state, base_params, rng, (x, a, c, ol))
+    assert np.isfinite(float(loss))
+    assert float(grad_norm) > 0
+    moved = sum(
+        float(np.abs(np.asarray(n) - b).sum()) for n, b in zip(jax.tree.leaves(adapters), jax.tree.leaves(before))
+    )
+    assert moved > 0, "adapters did not update"
+
+
 def test_merge_nan_safety(model_and_params):
     _, params = model_and_params
     cfg = LoraConfig(r=4, use_dora=False)

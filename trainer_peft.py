@@ -5,9 +5,13 @@ adapter checkpoints under ``loras/`` with an optimizer sidecar, and export a
 final ``merged_model.safetensors``.
 
 TPU-native mechanics: adapters are parameter-overlay pytrees applied in weight
-space per step (osufusion_tpu/peft/lora.py); the train step jits with the
-frozen base params captured as device constants and only the adapter tree
-donated/updated.
+space per step (osufusion_tpu/peft/lora.py). The train step is jitted over the
+same data x model mesh as pretraining (BASELINE config 5: adapter sharding
+across a v5e slice): frozen base params ride their tensor-parallel
+NamedShardings and are passed as a step ARGUMENT (a jit closure over 1.28B
+params would be re-uploaded per compile), the batch is sharded over ``data``,
+adapters are replicated, and the AdamW moments are ZeRO-1 sharded over
+``data``. XLA places the adapter-gradient all-reduce on ICI.
 """
 
 from __future__ import annotations
@@ -20,32 +24,64 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
 from osufusion_tpu.models import build_model
+from osufusion_tpu.parallel import make_mesh
+from osufusion_tpu.parallel.mesh import param_shardings, replicated, zero1_shardings
 from osufusion_tpu.peft import LoraConfig, apply_lora, count_lora_params, init_lora, merge_lora
 from osufusion_tpu.train import data as D
-from osufusion_tpu.train.loop import make_lr_schedule
+from osufusion_tpu.train.loop import load_data_state, make_lr_schedule, save_data_state
 from osufusion_tpu.utils.logging import MetricLogger
 from osufusion_tpu.utils.serialization import load_safetensors, save_safetensors
 
 
-def make_peft_step(model, base_params, lora_cfg: LoraConfig, tx):
-    def loss_fn(adapters, rng, batch):
+def shard_peft(base_params, adapters, opt_state, mesh: Mesh):
+    """Place the PEFT training state on the mesh.
+
+    Base params: tensor-parallel rules (replicated when model=1). Adapters:
+    replicated — at r=32 they are ~1% of the model and every data-parallel
+    chip needs them each step, so replication beats gathering. Optimizer
+    moments: ZeRO-1 over ``data``.
+    """
+    base_params = jax.device_put(base_params, param_shardings(base_params, mesh))
+    rep = replicated(mesh)
+    adapters = jax.device_put(adapters, jax.tree.map(lambda _: rep, adapters))
+    adapter_struct = jax.tree_util.tree_structure(adapters)
+
+    def handle_opt(node):
+        if jax.tree_util.tree_structure(node) == adapter_struct:
+            return zero1_shardings(adapters, mesh)
+        return jax.tree.map(lambda _: rep, node)
+
+    opt_shardings = jax.tree.map(
+        handle_opt, opt_state, is_leaf=lambda n: jax.tree_util.tree_structure(n) == adapter_struct
+    )
+    opt_state = jax.device_put(opt_state, opt_shardings)
+    return base_params, adapters, opt_state
+
+
+def make_peft_step(model, lora_cfg: LoraConfig, tx, mesh: Mesh):
+    def loss_fn(adapters, base_params, rng, batch):
         x, a, c, orig_len = batch
         eff = apply_lora(base_params, adapters, lora_cfg)
         return model.loss(eff, rng, x, a, c, orig_len)
 
-    @jax.jit
-    def step(adapters, opt_state, rng, batch):
+    def step(adapters, opt_state, base_params, rng, batch):
         rng, rng_step = jax.random.split(rng)
-        loss, grads = jax.value_and_grad(loss_fn)(adapters, rng_step, batch)
+        loss, grads = jax.value_and_grad(loss_fn)(adapters, base_params, rng_step, batch)
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, adapters)
         adapters = optax.apply_updates(adapters, updates)
         return adapters, opt_state, rng, loss, grad_norm
 
-    return step
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        donate_argnums=(0, 1),
+        in_shardings=(None, None, None, None, (batch_sh, batch_sh, batch_sh, batch_sh)),
+    )
 
 
 def save_adapter_checkpoint(adapters, opt_state, step: int, project_dir: Path, lora_cfg: LoraConfig) -> None:
@@ -81,6 +117,9 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
     project_dir = Path(cfg.train.project_dir)
     project_dir.mkdir(parents=True, exist_ok=True)
 
+    mesh = make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
+    print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
+
     model = build_model(cfg.model, cfg.diffusion)
     base_params = model.init_params(jax.random.PRNGKey(cfg.train.seed))
     if model_path is not None:
@@ -111,15 +150,26 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
             adapters, opt_state, current_step = load_adapter_checkpoint(ckpt, adapters, opt_state)
             print(f"resumed adapters from {ckpt} at step {current_step}")
 
-    step_fn = make_peft_step(model, base_params, lora_cfg, tx)
+    base_params, adapters, opt_state = shard_peft(base_params, adapters, opt_state, mesh)
+    step_fn = make_peft_step(model, lora_cfg, tx, mesh)
 
     print("Loading dataset...")
     paths = sorted(Path(cfg.train.dataset_dir).rglob("*.map.npz")) if cfg.train.dataset_mode != "dummy" else []
     if cfg.train.max_length > 0 and paths:
         paths = D.filter_dataset(paths, cfg.train.max_length)
-    dataset = D.make_dataset(cfg.train.dataset_mode, paths, seed=cfg.train.seed, segment_length=cfg.train.segment_length)
+    dataset = D.make_dataset(
+        cfg.train.dataset_mode,
+        paths,
+        seed=cfg.train.seed,
+        segment_length=cfg.train.segment_length,
+        segment_sr=cfg.train.segment_sr,
+        sample_density=cfg.train.sample_density,
+    )
     bucket = min(D.BUCKET, max(64, cfg.train.segment_length))
-    batches = D.prefetch(D.batched(dataset, cfg.train.batch_size, bucket=bucket), depth=4)
+    data_state = load_data_state(project_dir, current_step) if resume else None
+    batches = D.DataPipeline(
+        dataset, cfg.train.batch_size, bucket=bucket, num_workers=cfg.train.num_workers, start=data_state
+    )
 
     logger = MetricLogger(project_dir)
     rng = jax.random.PRNGKey(cfg.train.seed + 2)
@@ -129,7 +179,7 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
     t_last = time.time()
     while current_step < cfg.train.total_steps:
         batch = next(batches)
-        adapters, opt_state, rng, loss, grad_norm = step_fn(adapters, opt_state, rng, batch)
+        adapters, opt_state, rng, loss, grad_norm = step_fn(adapters, opt_state, base_params, rng, batch)
         current_step += 1
 
         loss = float(loss)
@@ -147,6 +197,7 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
 
         if current_step % cfg.train.save_every == 0:
             save_adapter_checkpoint(adapters, opt_state, current_step, project_dir, lora_cfg)
+            save_data_state(project_dir, current_step, batches)
 
     save_adapter_checkpoint(adapters, opt_state, current_step, project_dir, lora_cfg)
     print("Merging adapters...")
@@ -169,7 +220,9 @@ def parse_args():
     p.add_argument("--dummy-dataset", action="store_true")
     p.add_argument("--max-length", type=int, default=0)
     p.add_argument("--segment-length", type=int, default=4096)
-    p.add_argument("--mixed-precision", type=str, default="bf16", choices=["no", "bf16"])
+    p.add_argument("--no-segment-sr", action="store_true")
+    p.add_argument("--sample-density", type=float, default=1.0)
+    p.add_argument("--mixed-precision", type=str, default="bf16", choices=["no", "fp16", "bf16"])
     p.add_argument("--full-bf16", action="store_true")
     p.add_argument("--clip-grad-norm", type=float, default=0.0)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -178,6 +231,9 @@ def parse_args():
     p.add_argument("--save-every", type=int, default=1000)
     p.add_argument("--warmup-steps", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=2)
+    p.add_argument("--mesh-data", type=int, default=-1)
+    p.add_argument("--mesh-model", type=int, default=1)
     # LoRA config (reference defaults: r=32 alpha=32 DoRA on)
     p.add_argument("--lora-r", type=int, default=32)
     p.add_argument("--lora-alpha", type=float, default=32.0)
@@ -194,11 +250,9 @@ def parse_args():
     else:
         mode = "subsequence"
 
+    dtype = {"no": "float32", "fp16": "float16", "bf16": "bfloat16"}[args.mixed_precision]
     cfg = Config(
-        model=ModelConfig(
-            dim_h=args.model_dim,
-            dtype="bfloat16" if args.mixed_precision == "bf16" else "float32",
-        ),
+        model=ModelConfig(dim_h=args.model_dim, dtype=dtype),
         diffusion=DiffusionConfig(objective=args.model_type),
         train=TrainConfig(
             project_dir=args.project_dir,
@@ -206,6 +260,8 @@ def parse_args():
             dataset_mode=mode,
             max_length=args.max_length,
             segment_length=args.segment_length,
+            segment_sr=not args.no_segment_sr,
+            sample_density=args.sample_density,
             mixed_precision=args.mixed_precision,
             full_bf16=args.full_bf16,
             clip_grad_norm=args.clip_grad_norm,
@@ -215,6 +271,9 @@ def parse_args():
             save_every=args.save_every,
             warmup_steps=args.warmup_steps,
             seed=args.seed,
+            num_workers=args.num_workers,
+            mesh_data=args.mesh_data,
+            mesh_model=args.mesh_model,
         ),
     )
     lora_cfg = LoraConfig(
