@@ -52,9 +52,14 @@ class ModelConfig:
     # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
     attn_backend: str = "auto"
     # sliding-window local attention with window = the level's context length.
-    # Training crops (<= 4096 frames) are unaffected — the window covers them
-    # entirely; at full-song lengths this bounds attention to the trained
-    # context and drops FLOPs from O(T^2) to O(T*window) (SURVEY.md sec 5.7).
+    # DELIBERATE deviation from the reference, scoped to long sequences only:
+    # the window engages ONLY when T > attn_context_len (nn/blocks.py), so
+    # training crops up to the context length run global attention —
+    # bit-identical to the reference's SDPA (reference attention.py:94) —
+    # while full-song sampling bounds each query to a +/- window/2 field (the
+    # same receptive width training saw) and drops FLOPs from O(T^2) to
+    # O(T*window) (SURVEY.md sec 5.7). tests/test_pallas_attention.py pins
+    # both sides of the T == context_len boundary.
     attn_local: bool = True
 
     @property
@@ -98,7 +103,12 @@ class TrainConfig:
     dataset_mode: str = "subsequence"  # subsequence | random-length | full-sequence | dummy
     max_length: int = 0
     segment_length: int = 4096
-    mixed_precision: str = "bf16"  # no | bf16
+    # re-rate each crop's star-rating conditioning (reference default ON,
+    # osu_fusion/library/dataset.py:75); off for dummy data
+    segment_sr: bool = True
+    # fraction of maps visited per epoch (reference dataset.py:75 sample_density)
+    sample_density: float = 1.0
+    mixed_precision: str = "bf16"  # no | fp16 | bf16 (reference also has fp8 via MS-AMP)
     full_bf16: bool = False
     gradient_checkpointing: bool = False
     gradient_accumulation_steps: int = 1

@@ -1,29 +1,37 @@
 """Host-side input pipeline: npz shard datasets, augmentation, bucketed
-padding collation, and threaded prefetch.
+padding collation, and a checkpointable worker-pool pipeline.
 
 Capability parity with reference osu_fusion/library/{dataset,augment}.py and
 trainer.py's collate (:74-95): the same four dataset modes (full-sequence
 <= 65536, random-length 2048-8192, fixed subsequence 4096, dummy), NaN
-rejection, cursor-flip augmentation with p=0.5 each axis, per-epoch reshuffle,
-and padding with x=-1 / a=-23 emitting ``orig_len``.
+rejection, per-segment star-rating recompute (reference dataset.py:40-69,
+default ON :75), sample-density subsampling, cursor-flip augmentation with
+p=0.5 each axis, per-epoch reshuffle, and padding with x=-1 / a=-23 emitting
+``orig_len``.
 
 TPU-first differences:
 - batch lengths are padded up to a BUCKET multiple (default 1024) instead of
   the exact batch max: XLA compiles one program per bucket instead of one per
   length, bounding recompiles (SURVEY.md "hard parts" #1);
-- prefetch is a background thread feeding a bounded queue (the reference
-  forks DataLoader worker processes; our decode work is vectorized numpy that
-  releases the GIL, so threads overlap host prep with device steps without
-  fork overhead).
+- all randomness is POSITIONAL: sample ``i`` of epoch ``e`` is a pure function
+  of ``(seed, e, i)``, the host-side analog of JAX's stateless PRNG. The
+  pipeline's resume state is therefore just ``{"epoch", "index"}`` — no RNG
+  blobs to serialize (the reference checkpoints torch RNG state instead,
+  trainer.py:148-177) — and any worker schedule reproduces identical batches;
+- ``DataPipeline`` runs ``num_workers`` threads over positions and reorders
+  results, replacing the reference's DataLoader worker processes
+  (trainer.py:254-262): the per-sample work (npz decode, segment-SR rating)
+  is numpy/native code that releases the GIL, so threads overlap host prep
+  with device steps without fork overhead.
 """
 
 from __future__ import annotations
 
 import random
-import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from queue import Queue
-from typing import Iterator, List, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -53,7 +61,9 @@ def flip_cursor_vertical(x: np.ndarray) -> np.ndarray:
 def get_new_context(x: np.ndarray, c: np.ndarray) -> np.ndarray:
     """Re-rate a cropped segment: decode it to .osu text and recompute star
     rating for the conditioning vector (reference dataset.py:40-69). Uses the
-    C++ difficulty core when built, Python otherwise."""
+    C++ difficulty core when built, Python otherwise. Failure containment
+    (SURVEY.md section 5.3): an undecodable segment keeps its original
+    conditioning instead of killing the input pipeline."""
     import tempfile
 
     from osufusion_tpu.audio.constants import frame_times, normalize_context, unnormalize_context
@@ -64,15 +74,14 @@ def get_new_context(x: np.ndarray, c: np.ndarray) -> np.ndarray:
     cs, ar, od, hp, _ = unnormalize_context(c).tolist()
     ft = frame_times(x.shape[-1])
     meta = Metadata("", "Dummy", "Dummy", "OsuFusion", cs, ar, od, hp)
-    segment_osu = decode_beatmap(meta, x, ft, bpm=None, allow_beat_snap=False, verbose=False)
-
-    with tempfile.TemporaryDirectory() as d:
-        p = Path(d) / "segment.osu"
-        p.write_text(segment_osu, encoding="utf-8")
-        try:
+    try:
+        segment_osu = decode_beatmap(meta, x, ft, bpm=None, allow_beat_snap=False, verbose=False)
+        with tempfile.TemporaryDirectory() as d:
+            p = Path(d) / "segment.osu"
+            p.write_text(segment_osu, encoding="utf-8")
             sr = native_sr(Beatmap(p))  # falls back to Python when not built
-        except ValueError:
-            sr = 0.0
+    except Exception:
+        return c
 
     return normalize_context(np.array([cs, ar, od, hp, min(max(sr, 0.0), 20.0)], dtype=np.float32))
 
@@ -105,7 +114,13 @@ def filter_dataset(paths: Sequence[Path], max_length: int) -> List[Path]:
 
 
 class StreamDataset:
-    """Iterable over map shards with augmentation and per-epoch reshuffle."""
+    """Iterable over map shards with augmentation and per-epoch reshuffle.
+
+    Positional randomness: every draw is derived from ``(seed, epoch, index)``
+    via a SeedSequence, never from mutable RNG state — so position (e, i) is
+    reproducible in isolation, which is what makes the pipeline resumable and
+    worker-order independent.
+    """
 
     def __init__(
         self,
@@ -123,23 +138,45 @@ class StreamDataset:
         self.segment_sr = segment_sr
         self.flip_horizontal_prob = flip_horizontal_prob
         self.flip_vertical_prob = flip_vertical_prob
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.epoch = 0
+        self.index = 0
 
-    def sample_stream(self, map_file: Path) -> Iterator[Sample]:
+    def _rng(self, *salt: int) -> random.Random:
+        ss = np.random.SeedSequence([self.seed & 0x7FFFFFFF, *salt])
+        return random.Random(int(ss.generate_state(1, np.uint64)[0]))
+
+    def epoch_order(self, epoch: int) -> List[Path]:
+        """The (density-subsampled) shuffled map order of one epoch."""
+        rng = self._rng(epoch)
+        return rng.sample(self.dataset, int(len(self.dataset) * self.sample_density))
+
+    def materialize(self, map_file: Path, epoch: int, index: int) -> List[Sample]:
+        """All samples at one epoch position, with segment-SR + flips applied.
+        Pure in (seed, epoch, index, file contents) — safe to run on any
+        worker thread in any order."""
+        rng = self._rng(epoch, index)
+        out: List[Sample] = []
+        for x, a, c in self.sample_stream(map_file, rng):
+            if self.segment_sr:
+                c = get_new_context(x, c)
+            if rng.random() < self.flip_horizontal_prob:
+                x = flip_cursor_horizontal(x)
+            if rng.random() < self.flip_vertical_prob:
+                x = flip_cursor_vertical(x)
+            out.append((x, a, c))
+        return out
+
+    def sample_stream(self, map_file: Path, rng: random.Random) -> Iterator[Sample]:
         raise NotImplementedError
 
     def __iter__(self) -> Iterator[Sample]:
-        order = self.rng.sample(self.dataset, int(len(self.dataset) * self.sample_density))
-        for map_file in order:
-            for x, a, c in self.sample_stream(map_file):
-                if self.segment_sr:
-                    c = get_new_context(x, c)
-                if self.rng.random() < self.flip_horizontal_prob:
-                    x = flip_cursor_horizontal(x)
-                if self.rng.random() < self.flip_vertical_prob:
-                    x = flip_cursor_vertical(x)
-                yield x, a, c
-        self.rng.shuffle(self.dataset)
+        order = self.epoch_order(self.epoch)
+        while self.index < len(order):
+            yield from self.materialize(order[self.index], self.epoch, self.index)
+            self.index += 1
+        self.epoch += 1
+        self.index = 0
 
     def __len__(self) -> int:
         return len(self.dataset)
@@ -155,20 +192,20 @@ class DummyDataset(StreamDataset):
         super().__init__([Path(f"dummy_{i}") for i in range(num_samples)], seed=seed)
         self.min_length = min_length or self.MIN_LENGTH
         self.max_length = max_length or self.MAX_LENGTH
-        self.np_rng = np.random.default_rng(seed)
 
-    def sample_stream(self, _: Path) -> Iterator[Sample]:
-        length = self.rng.randint(self.min_length, self.max_length)
-        x = self.np_rng.standard_normal((TOTAL_DIM, length), dtype=np.float32)
-        a = self.np_rng.standard_normal((AUDIO_DIM, length), dtype=np.float32)
-        c = self.np_rng.standard_normal(CONTEXT_DIM).astype(np.float32)
+    def sample_stream(self, _: Path, rng: random.Random) -> Iterator[Sample]:
+        length = rng.randint(self.min_length, self.max_length)
+        np_rng = np.random.default_rng(rng.getrandbits(63))
+        x = np_rng.standard_normal((TOTAL_DIM, length), dtype=np.float32)
+        a = np_rng.standard_normal((AUDIO_DIM, length), dtype=np.float32)
+        c = np_rng.standard_normal(CONTEXT_DIM).astype(np.float32)
         yield x, a, c
 
 
 class FullSequenceDataset(StreamDataset):
     MAX_LENGTH = 65536
 
-    def sample_stream(self, map_file: Path) -> Iterator[Sample]:
+    def sample_stream(self, map_file: Path, rng: random.Random) -> Iterator[Sample]:
         try:
             x, a, c = load_tensor(map_file)
         except ValueError:
@@ -182,7 +219,7 @@ class RandomLengthDataset(StreamDataset):
     MIN_LENGTH = 2048
     MAX_LENGTH = 8192
 
-    def sample_stream(self, map_file: Path) -> Iterator[Sample]:
+    def sample_stream(self, map_file: Path, rng: random.Random) -> Iterator[Sample]:
         try:
             x, a, c = load_tensor(map_file)
         except ValueError:
@@ -190,8 +227,8 @@ class RandomLengthDataset(StreamDataset):
         n = x.shape[-1]
         if n < self.MIN_LENGTH:
             return
-        length = self.rng.randint(self.MIN_LENGTH, min(self.MAX_LENGTH, n))
-        start = self.rng.randint(0, n - length)
+        length = rng.randint(self.MIN_LENGTH, min(self.MAX_LENGTH, n))
+        start = rng.randint(0, n - length)
         yield x[..., start : start + length], a[..., start : start + length], c
 
 
@@ -200,7 +237,7 @@ class SubsequenceDataset(StreamDataset):
         super().__init__(*args, **kwargs)
         self.sequence_length = sequence_length
 
-    def sample_stream(self, map_file: Path) -> Iterator[Sample]:
+    def sample_stream(self, map_file: Path, rng: random.Random) -> Iterator[Sample]:
         try:
             x, a, c = load_tensor(map_file)
         except ValueError:
@@ -208,7 +245,7 @@ class SubsequenceDataset(StreamDataset):
         n = x.shape[-1]
         if self.sequence_length > n:
             return
-        start = self.rng.randint(0, n - self.sequence_length)
+        start = rng.randint(0, n - self.sequence_length)
         yield x[..., start : start + self.sequence_length], a[..., start : start + self.sequence_length], c
 
 
@@ -236,46 +273,91 @@ def collate(batch: Sequence[Sample], bucket: int = BUCKET) -> Batch:
     return out_x, out_a, out_c, orig_len
 
 
-def batched(dataset: StreamDataset, batch_size: int, bucket: int = BUCKET) -> Iterator[Batch]:
-    """Infinite cycle of collated batches (reference trainer.py:51-54 cycle)."""
-    while True:
-        buf: List[Sample] = []
-        for sample in dataset:
-            buf.append(sample)
-            if len(buf) == batch_size:
-                yield collate(buf, bucket)
-                buf = []
+class DataPipeline:
+    """Infinite, checkpointable, worker-parallel batch stream.
+
+    ``num_workers`` threads materialize epoch positions ahead of the consumer
+    (reference DataLoader workers, trainer.py:254-262); results are consumed
+    in position order, so the stream is identical for any worker count.
+    Because sample randomness is positional, the full resume state is
+    ``state() == {"epoch": e, "index": i}``: reconstruct the pipeline with
+    ``start=state`` and the next batch matches an uninterrupted run
+    (reference saves torch RNG blobs instead, trainer.py:148-177).
+    """
+
+    def __init__(
+        self,
+        dataset: StreamDataset,
+        batch_size: int,
+        bucket: int = BUCKET,
+        num_workers: int = 1,
+        depth: int = 4,
+        start: Optional[Dict[str, int]] = None,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.bucket = bucket
+        start = start or {"epoch": dataset.epoch, "index": dataset.index}
+        self._state = dict(start)
+        self._next_state = dict(start)
+        self._executor = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self._window = max(2 * max(1, num_workers), depth * batch_size)
+        self._futures: deque = deque()
+        self._positions = self._position_stream(start["epoch"], start["index"])
+        self._buf: List[Sample] = []
+
+    def _position_stream(self, epoch: int, index: int):
+        while True:
+            order = self.dataset.epoch_order(epoch)
+            while index < len(order):
+                yield epoch, index, order[index]
+                index += 1
+            epoch += 1
+            index = 0
+
+    def state(self) -> Dict[str, int]:
+        """Resume position covering every batch handed out so far."""
+        return dict(self._state)
+
+    def __iter__(self) -> Iterator[Batch]:
+        return self
+
+    def __next__(self) -> Batch:
+        while True:
+            while len(self._futures) < self._window:
+                epoch, index, map_file = next(self._positions)
+                fut = self._executor.submit(self.dataset.materialize, map_file, epoch, index)
+                self._futures.append((epoch, index, fut))
+            epoch, index, fut = self._futures.popleft()
+            self._buf.extend(fut.result())
+            self._next_state = {"epoch": epoch, "index": index + 1}
+            if len(self._buf) >= self.batch_size:
+                batch = collate(self._buf[: self.batch_size], self.bucket)
+                self._buf = self._buf[self.batch_size :]
+                # a position yields at most one sample in every dataset mode,
+                # so the buffer is empty here and _next_state is exact
+                self._state = dict(self._next_state)
+                return batch
 
 
-def prefetch(it: Iterator[Batch], depth: int = 4) -> Iterator[Batch]:
-    """Background-thread prefetch with a bounded queue."""
-    q: Queue = Queue(maxsize=depth)
-    stop = object()
-
-    def worker() -> None:
-        try:
-            for item in it:
-                q.put(item)
-        finally:
-            q.put(stop)
-
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        yield item
-
-
-def make_dataset(mode: str, paths: Sequence[Path], seed: int = 0, segment_length: int = 4096) -> StreamDataset:
+def make_dataset(
+    mode: str,
+    paths: Sequence[Path],
+    seed: int = 0,
+    segment_length: int = 4096,
+    segment_sr: bool = False,
+    sample_density: float = 1.0,
+) -> StreamDataset:
     if mode == "dummy":
         # mirror the reference's "1/2x to 2x of context" dummy lengths, scaled
-        # to the configured segment length so smoke runs stay small
+        # to the configured segment length so smoke runs stay small; dummy
+        # tensors are random noise, so segment-SR re-rating is meaningless
         return DummyDataset(seed=seed, min_length=segment_length // 2, max_length=segment_length * 2)
+    kw = dict(seed=seed, segment_sr=segment_sr, sample_density=sample_density)
     if mode == "full-sequence":
-        return FullSequenceDataset(paths, seed=seed)
+        return FullSequenceDataset(paths, **kw)
     if mode == "random-length":
-        return RandomLengthDataset(paths, seed=seed)
+        return RandomLengthDataset(paths, **kw)
     if mode == "subsequence":
-        return SubsequenceDataset(paths, seed=seed, sequence_length=segment_length)
+        return SubsequenceDataset(paths, sequence_length=segment_length, **kw)
     raise ValueError(f"unknown dataset mode: {mode}")

@@ -220,6 +220,92 @@ def test_segment_sr_recomputes_conditioning(tmp_path):
     assert -1.0 <= c2[4] <= 1.0
 
 
+def test_pipeline_worker_count_invariance():
+    """The batch stream is a pure function of (seed, position): any worker
+    count produces identical batches in identical order."""
+    def mk(workers):
+        return D.DataPipeline(
+            D.DummyDataset(num_samples=6, seed=3, min_length=64, max_length=128), 2, bucket=64, num_workers=workers
+        )
+
+    seq_pipe, par_pipe = mk(1), mk(4)
+    ref = [next(seq_pipe) for _ in range(5)]
+    par = [next(par_pipe) for _ in range(5)]
+    for (x1, a1, c1, l1), (x2, a2, c2, l2) in zip(ref, par):
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(a1, a2)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(l1, l2)
+
+
+def test_pipeline_resume_matches_uninterrupted():
+    """Checkpoint/resume of the data order (reference saves torch RNG state,
+    trainer.py:148-177): restart from state() and the next batches match an
+    uninterrupted run exactly — across an epoch boundary (6 samples, batch 2,
+    4 batches > 1 epoch)."""
+
+    def mk():
+        return D.DataPipeline(D.DummyDataset(num_samples=6, seed=7, min_length=64, max_length=128), 2, bucket=64)
+
+    full = mk()
+    batches = [next(full) for _ in range(6)]
+
+    interrupted = mk()
+    for _ in range(3):
+        next(interrupted)
+    saved = interrupted.state()
+
+    resumed = D.DataPipeline(
+        D.DummyDataset(num_samples=6, seed=7, min_length=64, max_length=128), 2, bucket=64, start=saved
+    )
+    for want in batches[3:]:
+        got = next(resumed)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(w, g)
+
+
+def test_segment_sr_changes_crop_conditioning(tmp_path):
+    """segment_sr=True through the actual dataset path: the crop's SR channel
+    is recomputed (reference dataset.py:75 defaults it ON)."""
+    from osufusion_tpu.audio.constants import frame_times, normalize_context
+    from osufusion_tpu.codec.encode import encode_beatmap
+    from osufusion_tpu.osu import Beatmap
+    from tests.helpers import write_synthetic_map
+
+    bm = Beatmap(write_synthetic_map(tmp_path))
+    x = encode_beatmap(bm, frame_times(1600))
+    c = normalize_context(np.array([4.0, 8.0, 6.0, 5.0, 9.9], dtype=np.float32))
+    np.savez_compressed(tmp_path / "spec.npz", a=np.full((96, 1600), -10, np.float32))
+    np.savez_compressed(tmp_path / "m.map.npz", x=x, c=c, spec_path="spec.npz")
+
+    def first_context(segment_sr):
+        ds = D.make_dataset(
+            "subsequence", [tmp_path / "m.map.npz"], seed=0, segment_length=1024, segment_sr=segment_sr
+        )
+        ds.flip_horizontal_prob = ds.flip_vertical_prob = 0.0
+        return next(iter(ds))[2]
+
+    c_plain = first_context(False)
+    c_rated = first_context(True)
+    np.testing.assert_allclose(c_rated[:4], c_plain[:4], atol=1e-5)
+    assert c_rated[4] != c_plain[4], "segment_sr did not re-rate the crop"
+
+
+def test_fp16_train_step():
+    """--mixed-precision fp16 parity surface (reference trainer.py:210): one
+    step on the tiny config in float16 activations produces a finite loss."""
+    import dataclasses
+
+    cfg = tiny_config(mixed_precision="fp16")
+    model = build_model(dataclasses.replace(TINY_MODEL, dtype="float16"), cfg.diffusion)
+    mesh = make_mesh(data=8, model=1)
+    state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+    state, _ = shard_state(state, mesh)
+    step = make_train_step(model, cfg, mesh)
+    state, metrics = step(state, np_batch())
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_zero1_opt_state_sharding():
     """Optimizer moments shard over the data axis (ZeRO-1) while params stay
     per the TP rules; one step runs and updates correctly on the mesh."""

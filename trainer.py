@@ -24,9 +24,11 @@ from osufusion_tpu.train import data as D
 from osufusion_tpu.train.loop import (
     checkpoint_manager,
     init_state,
+    load_data_state,
     make_train_step,
     restore_checkpoint,
     save_checkpoint,
+    save_data_state,
     shard_state,
 )
 from osufusion_tpu.utils.logging import MetricLogger
@@ -101,10 +103,24 @@ def train(cfg: Config) -> None:
     paths = sorted(Path(cfg.train.dataset_dir).rglob("*.map.npz")) if cfg.train.dataset_mode != "dummy" else []
     if cfg.train.max_length > 0 and paths:
         paths = D.filter_dataset(paths, cfg.train.max_length)
-    dataset = D.make_dataset(cfg.train.dataset_mode, paths, seed=cfg.train.seed, segment_length=cfg.train.segment_length)
+    dataset = D.make_dataset(
+        cfg.train.dataset_mode,
+        paths,
+        seed=cfg.train.seed,
+        segment_length=cfg.train.segment_length,
+        segment_sr=cfg.train.segment_sr,
+        sample_density=cfg.train.sample_density,
+    )
     accum = cfg.train.gradient_accumulation_steps
     bucket = min(D.BUCKET, max(64, cfg.train.segment_length))
-    batches = D.prefetch(D.batched(dataset, cfg.train.batch_size * max(1, accum), bucket=bucket), depth=4)
+    data_state = load_data_state(project_dir, current_step=int(state.step)) if cfg.train.resume else None
+    batches = D.DataPipeline(
+        dataset,
+        cfg.train.batch_size * max(1, accum),
+        bucket=bucket,
+        num_workers=cfg.train.num_workers,
+        start=data_state,
+    )
 
     logger = MetricLogger(project_dir)
     losses: list[float] = []
@@ -147,6 +163,7 @@ def train(cfg: Config) -> None:
         if current_step % cfg.train.save_every == 0:
             logger.log({"save_loss": avg_loss}, step=current_step)
             save_checkpoint(mngr, state)
+            save_data_state(project_dir, current_step, batches)
 
         if (
             current_step % cfg.train.sample_every == 0
@@ -174,7 +191,13 @@ def parse_args() -> Config:
     p.add_argument("--dummy-dataset", action="store_true")
     p.add_argument("--max-length", type=int, default=0)
     p.add_argument("--segment-length", type=int, default=4096)
-    p.add_argument("--mixed-precision", type=str, default="bf16", choices=["no", "bf16"])
+    p.add_argument(
+        "--no-segment-sr",
+        action="store_true",
+        help="skip per-crop star-rating recompute (reference default is ON, dataset.py:75)",
+    )
+    p.add_argument("--sample-density", type=float, default=1.0)
+    p.add_argument("--mixed-precision", type=str, default="bf16", choices=["no", "fp16", "bf16"])
     p.add_argument("--full-bf16", action="store_true")
     p.add_argument("--gradient-checkpointing", action="store_true")
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
@@ -205,11 +228,12 @@ def parse_args() -> Config:
     else:
         mode = "subsequence"
 
+    dtype = {"no": "float32", "fp16": "float16", "bf16": "bfloat16"}[args.mixed_precision]
     model = ModelConfig(
         dim_h=args.model_dim,
         attn_heads=args.model_attn_heads,
         attn_kv_heads=args.model_attn_kv_heads,
-        dtype="bfloat16" if args.mixed_precision == "bf16" else "float32",
+        dtype=dtype,
         remat=args.gradient_checkpointing,
     )
     diffusion = DiffusionConfig(objective=args.model_type)
@@ -222,6 +246,8 @@ def parse_args() -> Config:
         dataset_mode=mode,
         max_length=args.max_length,
         segment_length=args.segment_length,
+        segment_sr=not args.no_segment_sr,
+        sample_density=args.sample_density,
         mixed_precision=args.mixed_precision,
         full_bf16=args.full_bf16,
         gradient_checkpointing=args.gradient_checkpointing,
