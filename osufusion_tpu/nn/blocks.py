@@ -298,7 +298,12 @@ class Attention(nn.Module):
         q = apply_rope_headmajor(q, cos, sin)
         k = apply_rope_headmajor(k, cos, sin)
 
-        window = self.context_len if self.local else None
+        # the window only engages BEYOND the trained context: sequences up to
+        # context_len attend globally — bit-identical to the reference's
+        # global SDPA at training crop lengths (attention.py:94) — while
+        # full-song sampling bounds each query to a context_len-wide field
+        # (+/- window/2), the same receptive width training saw
+        window = self.context_len if (self.local and T > self.context_len) else None
         out = sdpa_headmajor(q, k, v, backend=self.backend, window=window)
         out = out.swapaxes(1, 2).reshape(B, T, self.heads * self.dim_head)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(out)

@@ -114,7 +114,7 @@ def gqa_attention(
     # logits in fp32 for a stable softmax
     logits = jnp.einsum("btkgd,bskd->bkgts", qg, k, preferred_element_type=jnp.float32)
     logits = logits * scale
-    if window is not None and window // 2 < S - 1:
+    if window is not None and S > window:
         rows = jnp.arange(T)[:, None]
         cols = jnp.arange(S)[None, :]
         mask = jnp.abs(rows - cols) <= window // 2

@@ -484,8 +484,8 @@ def flash_attention_headmajor(
     group = H // Kv
     bq, bk = _choose_blocks(T, S, group)
     assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
-    if window is not None and window // 2 >= S - 1:
-        window = None  # window covers everything: run the global path
+    if window is not None and S <= window:
+        window = None  # window covers the whole sequence: run the global path
 
     qh = qh * jnp.asarray(D**-0.5 * LOG2E, qh.dtype)
     return _flash_attention_headmajor(qh, kh, vh, group, bq, bk, window, _INFERENCE.get())

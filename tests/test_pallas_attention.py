@@ -95,6 +95,45 @@ def test_window_covering_sequence_equals_global():
     np.testing.assert_allclose(np.asarray(out_windowed), np.asarray(out_global), atol=2e-5, rtol=2e-5)
 
 
+def test_window_engages_only_beyond_context():
+    """The training-parity rule (VERDICT round-1 weak #4): a window equal to
+    the sequence length is a NO-OP — training crops at T == attn_context_len
+    match the reference's global SDPA exactly — while T > window genuinely
+    localizes attention."""
+    # T == window: local output identical to global, in both backends
+    q, k, v = make_qkv(B=1, T=512, H=2, Kv=1)
+    with pltpu.force_tpu_interpret_mode():
+        out_local = pa.flash_attention(q, k, v, window=512)
+        out_global = pa.flash_attention(q, k, v)
+    np.testing.assert_array_equal(np.asarray(out_local), np.asarray(out_global))
+    np.testing.assert_array_equal(
+        np.asarray(gqa_attention(q, k, v, window=512)), np.asarray(gqa_attention(q, k, v))
+    )
+
+    # T == 2*window: the window must change the result
+    q, k, v = make_qkv(B=1, T=1024, H=2, Kv=1)
+    with pltpu.force_tpu_interpret_mode():
+        out_local = pa.flash_attention(q, k, v, window=512)
+        out_global = pa.flash_attention(q, k, v)
+    assert not np.allclose(np.asarray(out_local), np.asarray(out_global), atol=1e-3)
+
+
+def test_attention_module_window_rule():
+    """Model-level: Attention(local=True) == Attention(local=False) at
+    T == context_len (training regime), and differs at T == 2*context_len
+    (sampling regime)."""
+    from osufusion_tpu.nn.blocks import Attention
+
+    def run(T, local):
+        attn = Attention(dim_head=16, heads=4, kv_heads=1, context_len=128, backend="xla", local=local)
+        x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, T, 64)), jnp.float32)
+        params = attn.init(jax.random.PRNGKey(0), x)
+        return np.asarray(attn.apply(params, x))
+
+    np.testing.assert_array_equal(run(128, True), run(128, False))
+    assert not np.allclose(run(256, True), run(256, False), atol=1e-4)
+
+
 def test_local_window_unequal_blocks_matches_naive():
     """16-head MQA folds to bq=128 while bk stays 512: the window centering
     must hold with unequal block sizes (regression: mis-centered windows

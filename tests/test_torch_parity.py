@@ -261,6 +261,43 @@ def test_null_cond_parity(models):
     np.testing.assert_allclose(our_out, ref_out, rtol=2e-3, atol=2e-4)
 
 
+def test_forward_parity_long_sequence(models):
+    """T > attn_context_len — the regime the reference actually trains in
+    (crop 4096 > per-level ctx at depth): exercises the RoPE
+    length-interpolation (reference attention.py:42) and the global-attention
+    path. Uses attn_local=False to mirror the reference's always-global SDPA;
+    the local-window deviation at long T is pinned separately in
+    tests/test_pallas_attention.py."""
+    import dataclasses
+
+    ref, ours, params = models
+    ours_global = UNet(dataclasses.replace(ours.cfg, attn_local=False))
+
+    N_long = 4 * CTX  # 256 > ctx 64: every UNet level runs beyond its context
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (B, 6, N_long)).astype(np.float32)
+    a = rng.normal(-5, 3, (B, 96, N_long)).astype(np.float32)
+    t = np.array([17.0, 431.0], dtype=np.float32)
+    c = rng.uniform(-1, 1, (B, 5)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(a), torch.from_numpy(t), torch.from_numpy(c), cond_drop_prob=0.0
+        ).numpy()
+    our_out = np.asarray(
+        ours_global.apply(
+            params,
+            jnp.asarray(x).swapaxes(1, 2),
+            jnp.asarray(a).swapaxes(1, 2),
+            jnp.asarray(t),
+            jnp.asarray(c),
+            jnp.ones((B,), bool),
+        )
+    ).swapaxes(1, 2)
+    assert ref_out.shape == our_out.shape
+    np.testing.assert_allclose(our_out, ref_out, rtol=2e-3, atol=3e-4)
+
+
 def test_input_gradient_parity(models):
     ref, ours, params = models
     x, a, t, c = make_inputs(2)
