@@ -12,9 +12,16 @@ implements the osu!standard strain-skill algorithm directly (ppv2 family):
 - star rating = aim + speed + |aim - speed| / 2 (the classic combination).
 
 It is a faithful implementation of the algorithm family, not a bit-exact
-rosu-pp clone (no environment to verify against); ratings land in the familiar
-0-10+ range and scale correctly with spacing/density/CS. A C++ port of this
-module (osufusion_tpu/native) serves the per-segment-SR hot path.
+rosu-pp clone — rosu-pp is a Rust crate that cannot be installed or run in
+this offline environment, so bit-level golden values are unobtainable.
+Validation instead (tests/test_pipeline.py):
+- golden regression fixtures for canonical patterns, calibrated to the star
+  ranges real osu! maps of those shapes rate at (180 BPM 1/4 stream ~6.5*,
+  1/2 jumps ~4.7*, sparse easy ~1.3*);
+- directional invariants (spacing/density/CS monotonicity, 0.9^i length
+  saturation);
+- Python/C++ core equivalence (tests/test_native.py) — the C++ port
+  (osufusion_tpu/native) serves the per-segment-SR hot path.
 """
 
 from __future__ import annotations

@@ -42,6 +42,76 @@ def test_star_rating_from_text(tmp_path):
     assert sr > 0
 
 
+_GOLDEN_HEADER = """osu file format v14
+
+[General]
+AudioFilename: audio.mp3
+Mode: 0
+
+[Metadata]
+Title: G
+Artist: G
+Creator: G
+Version: G
+
+[Difficulty]
+HPDrainRate: 5
+CircleSize: {cs}
+OverallDifficulty: 6
+ApproachRate: 8
+SliderMultiplier: 1.4
+SliderTickRate: 1
+
+[TimingPoints]
+1000,500,4,1,0,50,1,0
+
+[HitObjects]
+"""
+
+
+def _uniform_pattern(tmp_path, name, cs, spacing, dt, n):
+    lines, x = [], 100.0
+    for i in range(n):
+        lines.append(f"{int(x)},200,{1000 + i * dt},1,0,0:0:0:0:")
+        x += spacing if i % 2 == 0 else -spacing
+    p = tmp_path / f"{name}.osu"
+    p.write_text(_GOLDEN_HEADER.format(cs=cs) + "\n".join(lines) + "\n", encoding="utf-8")
+    return Beatmap(p)
+
+
+def test_star_rating_golden_values(tmp_path):
+    """Golden regression fixtures for canonical patterns, calibrated to the
+    ranges real osu! maps of these shapes rate at (rosu-pp itself is not
+    installable offline — reference scripts/dataset_creator.py:139-142; these
+    pin the algorithm and its constants against silent drift):
+    - 180 BPM 1/4 stream at 100 px spacing: ~6.5 stars
+    - 180 BPM 1/2 jumps at 220 px: ~4.7 stars
+    - sparse low-CS pattern: ~1.3 stars
+    """
+    cases = {
+        ("stream", 4, 100, 83, 200): 6.520097,
+        ("jumps", 4, 220, 166, 120): 4.749983,
+        ("easy", 3, 80, 400, 60): 1.345226,
+    }
+    for (name, cs, spacing, dt, n), want in cases.items():
+        got = calculate_star_rating(_uniform_pattern(tmp_path, name, cs, spacing, dt, n))
+        assert got == pytest.approx(want, rel=1e-5), f"{name}: {got} != {want}"
+
+
+def test_star_rating_monotonic_properties(tmp_path):
+    """Directional invariants any osu!std difficulty algorithm satisfies."""
+    base = calculate_star_rating(_uniform_pattern(tmp_path, "base", 4, 120, 200, 100))
+    wider = calculate_star_rating(_uniform_pattern(tmp_path, "wider", 4, 200, 200, 100))
+    faster = calculate_star_rating(_uniform_pattern(tmp_path, "faster", 4, 120, 120, 100))
+    small_circles = calculate_star_rating(_uniform_pattern(tmp_path, "cs7", 7, 120, 200, 100))
+    assert wider > base, "larger spacing must rate harder (aim)"
+    assert faster > base, "higher density must rate harder (speed)"
+    assert small_circles > base, "smaller circles must rate harder"
+    # the 0.9^i weighting saturates: doubling length adds < 15%
+    longer = calculate_star_rating(_uniform_pattern(tmp_path, "long", 4, 120, 200, 200))
+    assert longer < base * 1.15
+
+
 def test_prepare_map_end_to_end(tmp_path):
     map_file = write_synthetic_map(tmp_path)
     # the synthetic map references audio.mp3; write a wav and point to it
