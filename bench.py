@@ -96,12 +96,14 @@ def bench_train() -> dict:
     from osufusion_tpu.parallel import make_mesh
     from osufusion_tpu.train.loop import init_state, make_train_step, shard_state
 
-    dim_h = int(os.environ.get("BENCH_DIM_H", 128))
+    # defaults = the production config the MFU target is defined on
+    # (BASELINE.md: dim_h 512, B 4, T 4096, full-bf16 + remat, one v5e)
+    dim_h = int(os.environ.get("BENCH_DIM_H", 512))
     batch = int(os.environ.get("BENCH_BATCH", 4))
     seq = int(os.environ.get("BENCH_SEQ", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 10))
 
-    full_bf16 = os.environ.get("BENCH_FULL_BF16", "0") == "1"
+    full_bf16 = os.environ.get("BENCH_FULL_BF16", "1") == "1"
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
     cfg = Config(
         model=ModelConfig(

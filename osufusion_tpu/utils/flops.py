@@ -22,8 +22,8 @@ def _dense(B: int, T: int, din: int, dout: int) -> float:
 def _attention(B: int, T: int, heads: int, dh: int, kv_heads: int, window: int | None) -> float:
     group = heads // kv_heads
     bq, bk = _choose_blocks(T, T, group)
-    if window is not None and window // 2 >= T - 1:
-        window = None
+    if window is not None and T <= window:
+        window = None  # same no-op rule as the kernel dispatch
     if window is None:
         visited = T
     else:
