@@ -148,7 +148,9 @@ def bench_train() -> dict:
 
     from osufusion_tpu.utils.flops import train_step_flops
 
-    flops = train_step_flops(cfg.model, batch, seq, remat=cfg.model.remat)
+    flops = train_step_flops(
+        cfg.model, batch, seq, remat=cfg.model.remat, remat_mode=cfg.model.remat_mode
+    )
     peak = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12}.get(
         next((k for k in ("v5 lite", "v5e", "v5p", "v4") if k in jax.devices()[0].device_kind.lower()), ""), 197e12
     )

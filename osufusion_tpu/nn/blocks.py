@@ -17,8 +17,8 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from osufusion_tpu.ops.attention import sdpa, sdpa_headmajor
-from osufusion_tpu.ops.rope import apply_rope_headmajor, rope_tables
+from osufusion_tpu.ops.attention import sdpa
+from osufusion_tpu.ops.rope import apply_rope, rope_tables
 from osufusion_tpu.utils.profiling import named_scope
 
 Dtype = jnp.dtype
@@ -287,16 +287,16 @@ class Attention(nn.Module):
         )(x)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        # head-major pipeline: the (B,T,H,D)->(B,H,T,D) transposes fuse into
-        # the RoPE elementwise pass, and the Pallas kernel consumes/produces
-        # head-major blocks natively -- no standalone layout copies
-        q = q.reshape(B, T, self.heads, self.dim_head).swapaxes(1, 2)
-        k = k.reshape(B, T, self.kv_heads, self.dim_head).swapaxes(1, 2)
-        v = v.reshape(B, T, self.kv_heads, self.dim_head).swapaxes(1, 2)
+        # seq-major pipeline: the (B, T, H*D) projections reshape into the
+        # Pallas kernel's native (B, T, H, D) layout for FREE — the whole
+        # attention path (RoPE included) runs without a single transpose
+        q = q.reshape(B, T, self.heads, self.dim_head)
+        k = k.reshape(B, T, self.kv_heads, self.dim_head)
+        v = v.reshape(B, T, self.kv_heads, self.dim_head)
 
         cos, sin = rope_tables(T, self.dim_head, scale_base=self.context_len)
-        q = apply_rope_headmajor(q, cos, sin)
-        k = apply_rope_headmajor(k, cos, sin)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
         # the window only engages BEYOND the trained context: sequences up to
         # context_len attend globally — bit-identical to the reference's
@@ -304,8 +304,8 @@ class Attention(nn.Module):
         # full-song sampling bounds each query to a context_len-wide field
         # (+/- window/2), the same receptive width training saw
         window = self.context_len if (self.local and T > self.context_len) else None
-        out = sdpa_headmajor(q, k, v, backend=self.backend, window=window)
-        out = out.swapaxes(1, 2).reshape(B, T, self.heads * self.dim_head)
+        out = sdpa(q, k, v, backend=self.backend, window=window)
+        out = out.reshape(B, T, self.heads * self.dim_head)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(out)
         return x + out
 
@@ -327,7 +327,11 @@ class FeedForward(nn.Module):
 
 class TransformerBlock(nn.Module):
     """Attention (inner residual) then FF residual (reference unet.py:159-183).
-    Channel-last throughout: no layout transposes."""
+    Channel-last throughout: no layout transposes.
+
+    ``remat_ff`` wraps only the FeedForward in ``jax.checkpoint`` (the
+    "save-attn" remat mode): the FF hidden state (2x dim) is recomputed in
+    the backward while the attention module's residuals stay saved."""
 
     dim: int
     ff_mult: int = 2
@@ -337,6 +341,7 @@ class TransformerBlock(nn.Module):
     attn_context_len: int = 4096
     attn_backend: str = "auto"
     attn_local: bool = True
+    remat_ff: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -353,5 +358,6 @@ class TransformerBlock(nn.Module):
             param_dtype=self.param_dtype,
             name="attn",
         )(x)
-        x = FeedForward(self.dim, self.ff_mult, dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(x) + x
+        ff_cls = nn.remat(FeedForward) if self.remat_ff else FeedForward
+        x = ff_cls(self.dim, self.ff_mult, dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(x) + x
         return x

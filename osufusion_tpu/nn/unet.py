@@ -41,10 +41,25 @@ X_PAD_VALUE = -1.0
 A_PAD_VALUE = -23.0
 
 
+def _remat_plan(cfg: ModelConfig):
+    """(block_cls, remat_inner) for the configured remat mode."""
+    if not cfg.remat:
+        return UNetBlock, False
+    if cfg.remat_mode == "block":
+        return nn.remat(UNetBlock), False
+    return UNetBlock, True  # save-attn: remat inside, attention saved
+
+
 class UNetBlock(nn.Module):
     """init resnet -> N x (resnet -> transformer) -> down/up sampler.
 
     Returns (sampled_x, pre_sample_x); the latter is the skip connection.
+
+    ``remat_inner=True`` is the "save-attn" rematerialization mode: the
+    ResidualBlocks and transformer FFs are individually wrapped in
+    ``jax.checkpoint`` (cheap conv/matmul recompute) while the attention
+    modules stay un-rematted, so the backward reuses the flash kernel's saved
+    residuals instead of re-running its forward.
     """
 
     dim_in: int
@@ -60,6 +75,7 @@ class UNetBlock(nn.Module):
     attn_context_len: int
     attn_backend: str = "auto"
     attn_local: bool = True
+    remat_inner: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -71,10 +87,11 @@ class UNetBlock(nn.Module):
         c: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        res_cls = nn.remat(ResidualBlock) if self.remat_inner else ResidualBlock
 
-        x = ResidualBlock(self.dim_in, has_time_cond=self.has_time_cond, **common, name="init_resnet")(x, t, c)
+        x = res_cls(self.dim_in, has_time_cond=self.has_time_cond, **common, name="init_resnet")(x, t, c)
         for i in range(self.num_blocks):
-            x = ResidualBlock(self.dim_in, has_time_cond=self.has_time_cond, **common, name=f"resnet_{i}")(x, t, c)
+            x = res_cls(self.dim_in, has_time_cond=self.has_time_cond, **common, name=f"resnet_{i}")(x, t, c)
             x = TransformerBlock(
                 self.dim_in,
                 attn_dim_head=self.attn_dim_head,
@@ -83,6 +100,7 @@ class UNetBlock(nn.Module):
                 attn_context_len=self.attn_context_len,
                 attn_backend=self.attn_backend,
                 attn_local=self.attn_local,
+                remat_ff=self.remat_inner,
                 **common,
                 name=f"transformer_{i}",
             )(x)
@@ -118,7 +136,7 @@ class AudioEncoder(nn.Module):
 
         dims_h = (cfg.dim_h, *[cfg.dim_h * m for m in cfg.dim_h_mult])
         n_layers = len(cfg.dim_h_mult)
-        block_cls = nn.remat(UNetBlock) if cfg.remat else UNetBlock
+        block_cls, remat_inner = _remat_plan(cfg)
         for i in range(n_layers):
             x, _ = block_cls(
                 dim_in=dims_h[i],
@@ -134,6 +152,7 @@ class AudioEncoder(nn.Module):
                 attn_context_len=self.AUDIO_ATTN_CONTEXT_LEN // (2**i),
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
+                remat_inner=remat_inner,
                 **common,
                 name=f"layer_{i}",
             )(x, None, None)
@@ -160,7 +179,7 @@ class UNet(nn.Module):
 
         dims_h = (cfg.dim_h, *[cfg.dim_h * m for m in cfg.dim_h_mult])
         n_layers = len(cfg.dim_h_mult)
-        block_cls = nn.remat(UNetBlock) if cfg.remat else UNetBlock
+        block_cls, remat_inner = _remat_plan(cfg)
 
         self.down_layers = [
             block_cls(
@@ -177,6 +196,7 @@ class UNet(nn.Module):
                 attn_context_len=cfg.attn_context_len // (2**i),
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
+                remat_inner=remat_inner,
                 **common,
                 name=f"down_{i}",
             )
@@ -194,6 +214,7 @@ class UNet(nn.Module):
                 attn_context_len=bottleneck_ctx,
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
+                remat_ff=remat_inner,
                 **common,
                 name=f"middle_transformer_{i}",
             )
@@ -218,6 +239,7 @@ class UNet(nn.Module):
                 attn_context_len=cfg.attn_context_len // (2 ** (n_layers - i - 1)),
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
+                remat_inner=remat_inner,
                 **common,
                 name=f"up_{i}",
             )

@@ -57,10 +57,12 @@ def sdpa(
     from osufusion_tpu.ops.pallas_attention import flash_attention, flash_attention_available
 
     B, T, H, D = q.shape
-    S = k.shape[1]
+    S, Kv = k.shape[1], k.shape[2]
     if _FORCE_XLA.get():
         return gqa_attention(q, k, v, window=window)
-    use_flash = backend == "pallas" or (backend == "auto" and on_tpu() and flash_attention_available(T, S, D))
+    use_flash = backend == "pallas" or (
+        backend == "auto" and on_tpu() and flash_attention_available(T, S, D, H, Kv)
+    )
     if use_flash:
         return flash_attention(q, k, v, window=window)
     return gqa_attention(q, k, v, window=window)
@@ -73,8 +75,8 @@ def sdpa_headmajor(
     backend: str = "auto",
     window: int | None = None,
 ) -> jnp.ndarray:
-    """Head-major dispatch — the Pallas kernel's native layout, so the hot
-    path (UNet attention) pays zero XLA-side transposes around the kernel.
+    """Head-major compatibility dispatch. The kernel's native layout is now
+    SEQUENCE-major (``sdpa``) — this wrapper pays transposes around it.
     Returns (B, H, T, D)."""
     from osufusion_tpu.ops.pallas_attention import (
         flash_attention_available,
@@ -82,10 +84,13 @@ def sdpa_headmajor(
     )
 
     B, H, T, D = qh.shape
-    S = kh.shape[2]
+    S, Kv = kh.shape[2], kh.shape[1]
     use_flash = (
         not _FORCE_XLA.get()
-        and (backend == "pallas" or (backend == "auto" and on_tpu() and flash_attention_available(T, S, D)))
+        and (
+            backend == "pallas"
+            or (backend == "auto" and on_tpu() and flash_attention_available(T, S, D, H, Kv))
+        )
     )
     if use_flash:
         return flash_attention_headmajor(qh, kh, vh, window=window)

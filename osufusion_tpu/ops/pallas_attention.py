@@ -5,29 +5,37 @@ osu_fusion/modules/attention.py:61-101) with a TPU-native tiled kernel:
 
 - FlashAttention-2 style online softmax: the (T, S) logits matrix is never
   materialized — HBM traffic is O(T*D) instead of O(T^2);
-- GROUP FOLDING for GQA/MQA: all query heads sharing a KV head are folded
-  into the M dimension of one block, so the production MQA config (16 query
-  heads, 1 KV head) runs 16 heads per program — KV is loaded from HBM once
-  per group instead of once per head and the MXU sees (group*block_q, d)
-  matmuls instead of 16 skinny ones. The fold happens INSIDE the kernel: q
-  blocks are read head-major as (group, bq, d) and merged to (group*bq, d)
-  in VMEM (a layout no-op), so no XLA-side fold/unfold copies of the big
-  activations exist (~2 ms/site at the 23k-frame level-0 shape);
+- SEQUENCE-MAJOR layout: blocks are read straight from the (B, T, H, D)
+  activations the QKV projections produce, so there are NO (B,T,H,D) <->
+  (B,H,T,D) transposes anywhere in the attention path — in the backward
+  pass of the UNet those copies alone cost ~10% of a train step;
+- HEAD FOLDING for MQA: a q block is a CONTIGUOUS (1, bq, H, D) slab whose
+  merge to (bq*H, D) rows is a VMEM layout no-op (row r = (t=r//H, h=r%H)),
+  so KV is loaded once per q block and the MXU sees (H*bq, D) matmuls
+  instead of `heads` skinny ones;
+- WIDE KV BLOCKS: 1024-wide KV blocks halve the online-softmax rescale
+  passes and the per-visit fixed costs; the f32 logits chunk is kept inside
+  the 16 MB VMEM budget by SHRINKING block_q (down to 64 timesteps — the
+  folded matmul M-dim stays MXU-sized at H*64 = 1024 rows);
+- TILING-AWARE operand shapes: KV rides as rank-3 (B, S, D) — a rank-4 KV
+  with a singleton Kv axis lands in (8, 128) HBM tiles at 16x padding and
+  was measured 3x slower end to end; the softmax-stat residual crosses the
+  fwd->bwd boundary squeezed to dense (B, rows) for the same reason;
 - base-2 softmax: scale*log2(e) is folded into q before the kernel, logits
-  live in the exp2 domain and the VPU runs exp2 directly (saves the per
-  element ln2 multiply and the separate scale pass over every logits chunk);
+  live in the exp2 domain and the VPU runs exp2 directly;
 - optional LOCAL (sliding-window) attention: each query attends keys within
   +/- window/2 and the kernel only VISITS the KV blocks intersecting the
   window, with EXACT per-offset block spans — full-song (65k-frame) UNet
   levels drop from O(T^2) to O(T*W) FLOPs (SURVEY.md section 5.7);
-- grid (batch, kv_head, q_block, kv_visit) with VMEM accumulator scratch
-  carried across the innermost (sequential) dimension; softmax stats fp32;
-- custom VJP with the standard recompute backward; thanks to folding, the
-  dkv kernel accumulates the whole head group in-kernel and emits
-  (B, Kv, S, D) directly (no per-head intermediate + reduction).
+- grid (batch, q_block, kv_visit) with VMEM accumulator scratch carried
+  across the innermost (sequential) dimension; softmax stats fp32;
+- custom VJP with the standard recompute backward; thanks to the fold, the
+  dkv kernel accumulates all heads in-kernel and emits (B, S, D) directly.
 
-Falls back to the XLA einsum path for shapes the kernel doesn't tile
-(sequence not a multiple of 128) and on non-TPU backends.
+The kernel serves MQA (kv_heads == 1 — the production config of every model
+family here); GQA with kv_heads > 1 falls back to the XLA grouped einsum, as
+do shapes the kernel doesn't tile (sequence not a multiple of 64) and
+non-TPU backends.
 """
 
 from __future__ import annotations
@@ -41,17 +49,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_K = 512
-# folded Q rows per program (group * block_q); bounded by VMEM. Training needs
-# headroom for the backward kernels' temporaries; inference (forward-only, see
-# inference_attention()) can run double-size blocks, halving per-program
-# overhead in samplers.
+PREFERRED_BLOCK_K = 1024
+# budget for the f32 logits chunk (rows x block_k): it plus its exp'd copy,
+# the (rows, D) accumulator and the double-buffered KV blocks must fit the
+# 16 MB VMEM (forward AND backward kernels).
+LOGITS_VMEM_BYTES = 4 << 20
 TARGET_FOLDED_ROWS = 2048
-# 4096 rows exceeds the 16 MB VMEM budget even forward-only (the f32 QK
-# accumulator is rows x bk x 4B); kept equal to training until a
-# smaller-footprint softmax lands.
-INFERENCE_FOLDED_ROWS = 2048
-INFERENCE_BLOCK_K = 1024
 NEG_INF = -1e30
 LOG2E = math.log2(math.e)
 LN2 = math.log(2.0)
@@ -61,7 +64,8 @@ _INFERENCE = __import__("contextvars").ContextVar("osufusion_flash_inference", d
 
 def inference_attention():
     """Trace-time hint: the enclosed computation is forward-only, so the
-    kernel may use larger KV blocks / bf16 logits the backward could not."""
+    kernel may use bf16 logits (halving the softmax VPU passes and the
+    logits VMEM) that the backward's residual consistency could not."""
     import contextlib
 
     @contextlib.contextmanager
@@ -76,30 +80,30 @@ def inference_attention():
 
 
 def _pick_block(t: int, preferred: int) -> int:
-    for b in (preferred, 512, 256, 128):
+    for b in (preferred, 1024, 512, 256, 128, 64):
         if b <= preferred and t % b == 0:
             return b
     return 0
 
 
-def _pick_block_wide(t: int, preferred: int) -> int:
-    for b in (preferred, 1024, 512, 256, 128):
-        if b <= preferred and t % b == 0:
-            return b
-    return 0
+def _choose_blocks(t: int, s: int, group: int) -> tuple[int, int, int]:
+    """(block_q, block_k, fold) for a head-group of ``group`` query heads.
 
-
-def _choose_blocks(t: int, s: int, group: int) -> tuple[int, int]:
-    """(block_q, block_k) given the fold group size."""
-    rows = INFERENCE_FOLDED_ROWS if _INFERENCE.get() else TARGET_FOLDED_ROWS
-    bq = _pick_block(t, max(128, rows // group))
-    if _INFERENCE.get():
-        # bf16 logits halve the per-chunk VMEM: double-wide KV blocks fit,
-        # halving the visit count (and its per-visit fixed costs)
-        bk = _pick_block_wide(s, INFERENCE_BLOCK_K)
-    else:
-        bk = _pick_block(s, DEFAULT_BLOCK_K)
-    return bq, bk
+    The fold is always the FULL head group: a (1, bq, H, D) slab of the
+    seq-major array is a contiguous HBM range, so every DMA moves 100s of KB
+    in one burst (a partial-H block would gather fold*D-element slivers per
+    timestep — measured ~3x slower end to end). block_k is as wide as
+    divisibility allows (fewer visits = fewer softmax rescale passes); the
+    logits chunk is kept inside the VMEM budget by shrinking block_q instead
+    of the fold — with the production 16-head fold even bq=64 leaves a
+    1024-row M dimension on the MXU.
+    """
+    bk = _pick_block(s, PREFERRED_BLOCK_K)
+    bytes_per = 2 if _INFERENCE.get() else 4
+    rows_cap = max(64, LOGITS_VMEM_BYTES // (bytes_per * bk)) if bk else 64
+    rows = min(TARGET_FOLDED_ROWS, rows_cap)
+    bq = _pick_block(t, max(64, rows // group))
+    return bq, bk, group
 
 
 def _span_visits(window: Optional[int], block_src: int, block_tgt: int, n_target: int) -> int:
@@ -123,26 +127,23 @@ def _span_visits(window: Optional[int], block_src: int, block_tgt: int, n_target
     )
 
 
-def _fold_rows(x: jnp.ndarray, group: int, bq: int) -> jnp.ndarray:
-    """(B, H, T, 1) -> (B, Kv, nq*group*bq, 1) in the kernels' folded row
-    order (head f, q-block i, in-block t -> row offset f*bq + t of block i).
+def _stats_shape(B: int, nq: int, rows: int) -> tuple[int, int, int]:
+    """Softmax-stat (lse/delta) kernel-side storage: (B, nq*rows, 1) f32.
 
-    Only used for the SMALL per-row tensors (lse, delta) consumed by the
-    backward kernels; the big (.., D) activations never fold outside VMEM.
-    """
-    B, H, T, C = x.shape
-    kv = H // group
-    nq = T // bq
-    return (
-        x.reshape(B, kv, group, nq, bq, C).transpose(0, 1, 3, 2, 4, 5).reshape(B, kv, nq * group * bq, C)
-    )
+    Row r of q-block i lives at [b, i*rows + r, 0] — a plain row-major
+    reshape of the per-row vector, consumed as (1, rows, 1) blocks whose
+    (rows, 1) tile Mosaic accepts without any lane<->sublane shape cast.
+    The trailing singleton means the TRANSIENT is lane-padded in HBM — the
+    residual held across fwd->bwd is squeezed to dense (B, nq*rows)."""
+    return (B, nq * rows, 1)
 
 
-def _masked(s: jnp.ndarray, q_start, k_start, window: Optional[int], bq: int) -> jnp.ndarray:
-    """Window-mask a (group*bq, bk) logits chunk; row position repeats per head."""
+def _masked(s: jnp.ndarray, q_start, k_start, window: Optional[int], fold: int) -> jnp.ndarray:
+    """Window-mask a (bq*fold, bk) logits chunk; row r sits at position
+    q_start + r//fold (fold consecutive rows share one query position)."""
     if window is None:
         return s
-    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % bq
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // fold
     cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     return jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
 
@@ -151,15 +152,15 @@ def _masked(s: jnp.ndarray, q_start, k_start, window: Optional[int], bq: int) ->
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, bq, bk, nk, group, window, fast
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, bq, bk, nk, fold, window, fast
 ):
-    """One (q-block, kv-visit) step. q_ref block is (1, group, bq, D) read
-    straight from the head-major (B, H, T, D) array; the merge to
-    (group*bq, D) rows is a VMEM no-op. Logits are in the exp2 domain
-    (q pre-scaled by scale*log2e)."""
-    i = pl.program_id(2)
-    j = pl.program_id(3)
-    n_visit = pl.num_programs(3)
+    """One (q-block, kv-visit) step. q_ref block is (1, bq, H, D) read
+    straight from the seq-major (B, T, H, D) array; the merge to (bq*H, D)
+    rows is a VMEM layout no-op (row r = (t=r//H, h=r%H)). Logits are in the
+    exp2 domain (q pre-scaled by scale*log2e)."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n_visit = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
@@ -172,22 +173,22 @@ def _fwd_kernel(
 
     @pl.when(valid)
     def _update():
-        rows = group * bq
-        q = q_ref[0].reshape(rows, q_ref.shape[-1])  # (group*bq, D), head-major
-        k = k_ref[0, 0]  # (bk, D)
-        v = v_ref[0, 0]
+        rows = fold * bq
+        q = q_ref[0].reshape(rows, q_ref.shape[-1])  # (bq*H, D), seq-major
+        k = k_ref[0]  # (bk, D)
+        v = v_ref[0]
 
         # fast (forward-only) mode keeps the logits/probabilities in bf16:
-        # the MXU emits bf16 directly (f32 accumulation internally), the VPU
-        # packs 2 bf16 lanes per f32 lane, and the l-sum still accumulates in
-        # f32. Softmax stats stay f32 in scratch. ~1e-3 relative output error
-        # vs the exact path - in line with the bf16 matmuls around it.
+        # the VPU packs 2 bf16 lanes per f32 lane and the l-sum still
+        # accumulates in f32. Softmax stats stay f32 in scratch. ~1e-3
+        # relative output error vs the exact path — in line with the bf16
+        # matmuls around it.
         s_dtype = jnp.bfloat16 if fast else jnp.float32
         # Mosaic requires a 32-bit matmul accumulator; the cast applies on the
         # way out of the acc registers (no separate scale pass: scale*log2e is
         # folded into q)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = _masked(s.astype(s_dtype), i * bq, virtual * bk, window, bq)
+        s = _masked(s.astype(s_dtype), i * bq, virtual * bk, window, fold)
 
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True).astype(jnp.float32))
@@ -208,43 +209,43 @@ def _fwd_kernel(
         o = (acc_ref[:] / l).astype(o_ref.dtype)
         o_ref[0] = o.reshape(o_ref.shape[1:])
         # natural-log LSE for the backward: logits were base-2
-        lse_ref[0, 0] = (m_ref[:] + jnp.log2(l)) * LN2
+        lse_ref[0] = (m_ref[:] + jnp.log2(l)) * LN2  # (rows, 1)
 
 
-def _flash_fwd(qh, k, v, group, bq, bk, window, fast=False):
-    """qh: head-major (B, H, T, D), PRE-SCALED by scale*log2e; k/v: (B, Kv, S, D)."""
-    B, H, T, D = qh.shape
-    S = k.shape[2]
-    rows = group * bq
+def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False):
+    """q: seq-major (B, T, H, D), PRE-SCALED by scale*log2e; k/v: (B, S, D)
+    rank-3 MQA. Returns (o, lse) with lse in ``_stats_shape`` layout."""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    rows = fold * bq
     nq = T // bq
     nk = S // bk
     n_visit = _span_visits(window, bq, bk, nk)
     local = window is not None
 
-    def kv_index(b, g, i, j):
-        if local:
-            return (b, g, jnp.clip((i * bq - window // 2) // bk + j, 0, nk - 1), 0)
-        return (b, g, j, 0)
+    def kv_index(b, i, j):
+        jj = jnp.clip((i * bq - window // 2) // bk + j, 0, nk - 1) if local else j
+        return (b, jj, 0)
 
     kernel = functools.partial(
-        _fwd_kernel, bq=bq, bk=bk, nk=nk, group=group, window=window, fast=fast
+        _fwd_kernel, bq=bq, bk=bk, nk=nk, fold=fold, window=window, fast=fast
     )
 
     o, lse = pl.pallas_call(
         kernel,
-        grid=(B, H // group, nq, n_visit),
+        grid=(B, nq, n_visit),
         in_specs=[
-            pl.BlockSpec((1, group, bq, D), lambda b, g, i, j: (b, g, i, 0)),
-            pl.BlockSpec((1, 1, bk, D), kv_index),
-            pl.BlockSpec((1, 1, bk, D), kv_index),
+            pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
+            pl.BlockSpec((1, bk, D), kv_index),
+            pl.BlockSpec((1, bk, D), kv_index),
         ],
         out_specs=[
-            pl.BlockSpec((1, group, bq, D), lambda b, g, i, j: (b, g, i, 0)),
-            pl.BlockSpec((1, 1, rows, 1), lambda b, g, i, j: (b, g, i, 0)),
+            pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
+            pl.BlockSpec((1, rows, 1), lambda b, i, j: (b, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, T, D), qh.dtype),
-            jax.ShapeDtypeStruct((B, H // group, nq * rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, H, D), q.dtype),
+            jax.ShapeDtypeStruct(_stats_shape(B, nq, rows), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, D), jnp.float32),
@@ -252,9 +253,9 @@ def _flash_fwd(qh, k, v, group, bq, bk, window, fast=False):
             pltpu.VMEM((rows, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+            dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
-    )(qh, k, v)
+    )(q, k, v)
     return o, lse
 
 
@@ -262,11 +263,11 @@ def _flash_fwd(qh, k, v, group, bq, bk, window, fast=False):
 
 
 def _dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, bq, bk, nk, group, window
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, bq, bk, nk, fold, window
 ):
-    i = pl.program_id(2)
-    j = pl.program_id(3)
-    n_visit = pl.num_programs(3)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n_visit = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
@@ -277,18 +278,18 @@ def _dq_kernel(
 
     @pl.when(valid)
     def _update():
-        rows = group * bq
+        rows = fold * bq
         D = q_ref.shape[-1]
         q = q_ref[0].reshape(rows, D)
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
+        k = k_ref[0]
+        v = v_ref[0]
         do = do_ref[0].reshape(rows, D)
-        lse = lse_ref[0, 0]  # (rows, 1), natural log
-        delta = delta_ref[0, 0]
+        lse = lse_ref[0]  # (rows, 1), natural log
+        delta = delta_ref[0]
 
         # q carries scale*log2e; recover base-e logits via *ln2
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * LN2
-        s = _masked(s, i * bq, virtual * bk, window, bq)
+        s = _masked(s, i * bq, virtual * bk, window, fold)
         p = jnp.exp(s - lse)
 
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -307,11 +308,11 @@ def _dq_kernel(
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-    *, bq, bk, nq, group, window,
+    *, bq, bk, nq, fold, window,
 ):
-    jk = pl.program_id(2)  # kv block
-    ii = pl.program_id(3)  # visited folded q block
-    n_visit = pl.num_programs(3)
+    jk = pl.program_id(1)  # kv block
+    ii = pl.program_id(2)  # visited folded q block
+    n_visit = pl.num_programs(2)
 
     @pl.when(ii == 0)
     def _init():
@@ -323,20 +324,20 @@ def _dkv_kernel(
 
     @pl.when(valid)
     def _update():
-        rows = group * bq
+        rows = fold * bq
         D = q_ref.shape[-1]
         q = q_ref[0].reshape(rows, D)
-        k = k_ref[0, 0]  # (bk, D)
-        v = v_ref[0, 0]
+        k = k_ref[0]  # (bk, D)
+        v = v_ref[0]
         do = do_ref[0].reshape(rows, D)
-        lse = lse_ref[0, 0]
-        delta = delta_ref[0, 0]
+        lse = lse_ref[0]  # (rows, 1)
+        delta = delta_ref[0]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * LN2
-        s = _masked(s, virtual * bq, jk * bk, window, bq)
+        s = _masked(s, virtual * bq, jk * bk, window, fold)
         p = jnp.exp(s - lse)
 
-        # dv/dk accumulate over BOTH the q rows and the folded head group
+        # dv/dk accumulate over BOTH the q rows and the folded heads
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -350,86 +351,92 @@ def _dkv_kernel(
 
     @pl.when(ii == n_visit - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(group, bq, bk, window, res, g):
-    qh, k, v, oh, lse = res
-    lse = lse[..., None]  # residual stored squeezed; kernels want (B, Kv, QR, 1)
-    doh, _ = g
-    B, H, T, D = qh.shape
-    S = k.shape[2]
-    rows = group * bq
+def _flash_bwd(fold, bq, bk, window, res, g):
+    q, k, v, o, lse = res
+    lse = lse[..., None]  # residual stored squeezed; kernels want (B, QR, 1)
+    do, _ = g
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    # the backward holds s, p, dp, ds chunks at once — cap its KV block at 512
+    # to stay inside VMEM (the lse/delta row layout only depends on bq/fold,
+    # so the backward's block width is free to differ from the forward's)
+    bk = min(bk, 512)
+    rows = fold * bq
     nq = T // bq
     nk = S // bk
     n_visit_k = _span_visits(window, bq, bk, nk)
     n_visit_q = _span_visits(window, bk, bq, nq)
     local = window is not None
 
-    # per-row delta, folded to the kernels' row order (small: (B,H,T,1) f32)
-    delta = _fold_rows(
-        jnp.sum(doh.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1, keepdims=True), group, bq
+    # per-row delta in the kernels' stats layout: a pure reshape of (B, T, H)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1).reshape(
+        _stats_shape(B, nq, rows)
     )
 
-    def kv_index(b, g_, i, j):
-        if local:
-            return (b, g_, jnp.clip((i * bq - window // 2) // bk + j, 0, nk - 1), 0)
-        return (b, g_, j, 0)
+    def kv_index(b, i, j):
+        jj = jnp.clip((i * bq - window // 2) // bk + j, 0, nk - 1) if local else j
+        return (b, jj, 0)
+
+    stats_spec = pl.BlockSpec((1, rows, 1), lambda b, i, j: (b, i, 0))
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, bq=bq, bk=bk, nk=nk, group=group, window=window),
-        grid=(B, H // group, nq, n_visit_k),
+        functools.partial(_dq_kernel, bq=bq, bk=bk, nk=nk, fold=fold, window=window),
+        grid=(B, nq, n_visit_k),
         in_specs=[
-            pl.BlockSpec((1, group, bq, D), lambda b, g_, i, j: (b, g_, i, 0)),
-            pl.BlockSpec((1, 1, bk, D), kv_index),
-            pl.BlockSpec((1, 1, bk, D), kv_index),
-            pl.BlockSpec((1, group, bq, D), lambda b, g_, i, j: (b, g_, i, 0)),
-            pl.BlockSpec((1, 1, rows, 1), lambda b, g_, i, j: (b, g_, i, 0)),
-            pl.BlockSpec((1, 1, rows, 1), lambda b, g_, i, j: (b, g_, i, 0)),
+            pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
+            pl.BlockSpec((1, bk, D), kv_index),
+            pl.BlockSpec((1, bk, D), kv_index),
+            pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
+            stats_spec,
+            stats_spec,
         ],
-        out_specs=pl.BlockSpec((1, group, bq, D), lambda b, g_, i, j: (b, g_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, T, D), qh.dtype),
+        out_specs=pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((rows, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+            dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
-    )(qh, k, v, doh, lse, delta)
+    )(q, k, v, do, lse, delta)
 
-    def q_index(b, g_, jk, ii):
-        if local:
-            return (b, g_, jnp.clip((jk * bk - window // 2) // bq + ii, 0, nq - 1), 0)
-        return (b, g_, ii, 0)
+    def q_index(b, jk, ii):
+        jj = jnp.clip((jk * bk - window // 2) // bq + ii, 0, nq - 1) if local else ii
+        return (b, jj, 0, 0)
 
-    q_index_rows = q_index  # lse/delta share the q blocks' folded indexing
+    def stats_index(b, jk, ii):  # lse/delta follow the visited q blocks
+        jj = jnp.clip((jk * bk - window // 2) // bq + ii, 0, nq - 1) if local else ii
+        return (b, jj, 0)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, bq=bq, bk=bk, nq=nq, group=group, window=window),
-        grid=(B, H // group, nk, n_visit_q),
+        functools.partial(_dkv_kernel, bq=bq, bk=bk, nq=nq, fold=fold, window=window),
+        grid=(B, nk, n_visit_q),
         in_specs=[
-            pl.BlockSpec((1, group, bq, D), q_index),
-            pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),
-            pl.BlockSpec((1, group, bq, D), q_index),
-            pl.BlockSpec((1, 1, rows, 1), q_index_rows),
-            pl.BlockSpec((1, 1, rows, 1), q_index_rows),
+            pl.BlockSpec((1, bq, H, D), q_index),
+            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+            pl.BlockSpec((1, bq, H, D), q_index),
+            pl.BlockSpec((1, rows, 1), stats_index),
+            pl.BlockSpec((1, rows, 1), stats_index),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),
-            pl.BlockSpec((1, 1, bk, D), lambda b, g_, jk, ii: (b, g_, jk, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H // group, S, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H // group, S, D), v.dtype),
+            jax.ShapeDtypeStruct((B, S, D), k.dtype),
+            jax.ShapeDtypeStruct((B, S, D), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, D), jnp.float32),
             pltpu.VMEM((bk, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+            dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
-    )(qh, k, v, doh, lse, delta)
+    )(q, k, v, do, lse, delta)
 
     # chain-rule constants: s_e = ln2 * (q_scaled . k); ds/dq_scaled = ln2*k
     # was emitted without the ln2 (folded here); dk = ln2 * q_scaled^T ds
@@ -440,55 +447,34 @@ def _flash_bwd(group, bq, bk, window, res, g):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention_headmajor(qh, k, v, group, bq, bk, window, fast=False):
-    o, _ = _flash_fwd(qh, k, v, group, bq, bk, window, fast)
+def _flash_attention_seqmajor(q, k, v, fold, bq, bk, window, fast=False):
+    o, _ = _flash_fwd(q, k, v, fold, bq, bk, window, fast)
     return o
 
 
-def _fwd_rule(qh, k, v, group, bq, bk, window, fast=False):
+def _fwd_rule(q, k, v, fold, bq, bk, window, fast=False):
     # the exact-softmax forward backs the residuals; fast mode is never
     # differentiated (samplers only), but keep bwd numerically consistent
-    o, lse = _flash_fwd(qh, k, v, group, bq, bk, window, False)
-    # squeeze the residual: XLA pads a trailing dim of 1 by 128x in HBM, so a
-    # (B, Kv, QR, 1) tensor held for the whole backward would cost 128x its
-    # logical size; the padded form stays a transient inside fwd/bwd instead
-    return o, (qh, k, v, o, lse[..., 0])
+    o, lse = _flash_fwd(q, k, v, fold, bq, bk, window, False)
+    # squeeze the residual: XLA lane-pads a trailing dim of 1 by 128x in HBM,
+    # so the (B, QR, 1) form stays a transient inside fwd/bwd while the value
+    # held across the whole backward is dense (B, QR)
+    return o, (q, k, v, o, lse[..., 0])
 
 
-def _bwd_rule(group, bq, bk, window, fast, res, g):
-    return _flash_bwd(group, bq, bk, window, res, (g, None))
+def _bwd_rule(fold, bq, bk, window, fast, res, g):
+    return _flash_bwd(fold, bq, bk, window, res, (g, None))
 
 
-_flash_attention_headmajor.defvjp(_fwd_rule, _bwd_rule)
+_flash_attention_seqmajor.defvjp(_fwd_rule, _bwd_rule)
 
 
-def flash_attention_available(t: int, s: int, d: int) -> bool:
-    """Can the kernel tile this shape? (head dim lane-friendly, seq divisible)."""
-    return d % 64 == 0 and _pick_block(t, 512) > 0 and _pick_block(s, DEFAULT_BLOCK_K) > 0
-
-
-def flash_attention_headmajor(
-    qh: jnp.ndarray,  # (B, H, T, D)
-    kh: jnp.ndarray,  # (B, Kv, S, D)
-    vh: jnp.ndarray,  # (B, Kv, S, D)
-    window: Optional[int] = None,
-) -> jnp.ndarray:
-    """Head-major GQA flash attention, optionally windowed. Returns
-    (B, H, T, D). This is the kernel's NATIVE layout — callers that already
-    hold head-major activations (the UNet attention layer, whose RoPE pass
-    produces them) avoid every XLA-side transpose: the softmax scale and
-    exp2-domain factor below fuse into the upstream elementwise pass."""
-    B, H, T, D = qh.shape
-    S, Kv = kh.shape[2], kh.shape[1]
-    assert H % Kv == 0
-    group = H // Kv
-    bq, bk = _choose_blocks(T, S, group)
-    assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
-    if window is not None and S <= window:
-        window = None  # window covers the whole sequence: run the global path
-
-    qh = qh * jnp.asarray(D**-0.5 * LOG2E, qh.dtype)
-    return _flash_attention_headmajor(qh, kh, vh, group, bq, bk, window, _INFERENCE.get())
+def flash_attention_available(t: int, s: int, d: int, h: int = 1, kv: int = 1) -> bool:
+    """Can the kernel tile this shape? Requires a lane-friendly head dim,
+    block-divisible sequence lengths, and a single KV head (MQA — the
+    production config; see module docstring). GQA with kv > 1 runs on the
+    XLA grouped-einsum path instead."""
+    return d % 64 == 0 and kv == 1 and _pick_block(t, 512) > 0 and _pick_block(s, 512) > 0
 
 
 def flash_attention(
@@ -497,8 +483,40 @@ def flash_attention(
     v: jnp.ndarray,  # (B, S, Kv, D)
     window: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Sequence-major GQA flash attention, optionally windowed. (B, T, H, D)."""
-    oh = flash_attention_headmajor(
-        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), window
+    """Sequence-major MQA flash attention, optionally windowed. Returns
+    (B, T, H, D). This is the kernel's NATIVE layout — the (B, T, H*D)
+    outputs of the QKV projections reshape into it for free, so the whole
+    attention path runs without a single XLA-side transpose; the softmax
+    scale and exp2-domain factor below fuse into the upstream elementwise
+    pass (RoPE)."""
+    B, T, H, D = q.shape
+    S, Kv = k.shape[1], k.shape[2]
+    assert H % Kv == 0
+    if Kv != 1:
+        # grouped KV: the XLA einsum path handles it (see availability note)
+        from osufusion_tpu.ops.attention import gqa_attention
+
+        return gqa_attention(q, k, v, window=window)
+    bq, bk, fold = _choose_blocks(T, S, H)
+    assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
+    if window is not None and S <= window:
+        window = None  # window covers the whole sequence: run the global path
+
+    q = q * jnp.asarray(D**-0.5 * LOG2E, q.dtype)
+    o = _flash_attention_seqmajor(
+        q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window, _INFERENCE.get()
     )
-    return jnp.swapaxes(oh, 1, 2)
+    return o
+
+
+def flash_attention_headmajor(
+    qh: jnp.ndarray,  # (B, H, T, D)
+    kh: jnp.ndarray,  # (B, Kv, S, D)
+    vh: jnp.ndarray,  # (B, Kv, S, D)
+    window: Optional[int] = None,
+) -> jnp.ndarray:
+    """Head-major compatibility wrapper around the seq-major kernel."""
+    o = flash_attention(
+        jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2), jnp.swapaxes(vh, 1, 2), window
+    )
+    return jnp.swapaxes(o, 1, 2)

@@ -21,7 +21,7 @@ def _dense(B: int, T: int, din: int, dout: int) -> float:
 
 def _attention(B: int, T: int, heads: int, dh: int, kv_heads: int, window: int | None) -> float:
     group = heads // kv_heads
-    bq, bk = _choose_blocks(T, T, group)
+    bq, bk, _ = _choose_blocks(T, T, group)
     if window is not None and T <= window:
         window = None  # same no-op rule as the kernel dispatch
     if window is None:
@@ -31,13 +31,20 @@ def _attention(B: int, T: int, heads: int, dh: int, kv_heads: int, window: int |
     return 4.0 * B * heads * T * visited * dh
 
 
-def _transformer(B: int, T: int, dim: int, cfg: ModelConfig, ctx: int) -> float:
+def _attn_module(B: int, T: int, dim: int, cfg: ModelConfig, ctx: int) -> float:
+    """The un-rematted part of a transformer under "save-attn": q/kv/out
+    projections + the flash kernel (everything inside nn.blocks.Attention)."""
     inner = cfg.attn_heads * cfg.attn_dim_head
     kv_inner = cfg.attn_kv_heads * cfg.attn_dim_head
     f = _dense(B, T, dim, inner)  # to_q
     f += _dense(B, T, dim, kv_inner * 2)  # to_kv
     f += _attention(B, T, cfg.attn_heads, cfg.attn_dim_head, cfg.attn_kv_heads, ctx if cfg.attn_local else None)
     f += _dense(B, T, inner, dim)  # to_out
+    return f
+
+
+def _transformer(B: int, T: int, dim: int, cfg: ModelConfig, ctx: int) -> float:
+    f = _attn_module(B, T, dim, cfg, ctx)
     f += _dense(B, T, dim, dim * 2) + _dense(B, T, dim * 2, dim)  # ff mult 2
     return f
 
@@ -103,7 +110,53 @@ def unet_fwd_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
     return total
 
 
-def train_step_flops(cfg: ModelConfig, batch: int, seq: int, remat: bool = True) -> float:
-    """fwd + bwd (2x fwd) + remat recompute (1x fwd when enabled)."""
+def unet_remat_recompute_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
+    """Forward FLOPs actually re-executed in the backward under the
+    "save-attn" remat mode: every ResidualBlock inside a UNetBlock plus every
+    transformer FeedForward (incl. the middle transformers). Attention
+    modules, samplers, stems, middle resnets and the final head are NOT
+    rematerialized in that mode."""
+    B, T = batch, seq
+    h = cfg.dim_h
+    dims = [h] + [h * m for m in cfg.dim_h_mult]
+    total = 0.0
+
+    def ff(t: int, dim: int) -> float:
+        return _dense(B, t, dim, dim * 2) + _dense(B, t, dim * 2, dim)
+
+    def stack() -> float:
+        f, t = 0.0, T
+        for i, din in enumerate(dims[:-1]):
+            n_blocks = cfg.num_layer_blocks[i]
+            f += _resblock(B, t, din, din) * (n_blocks + 1)  # init + per-block
+            f += ff(t, din) * n_blocks
+            if i < len(dims) - 2:
+                t //= 2
+        return f
+
+    total += stack() * 2  # down path + audio encoder (same topology)
+    tb = T // (2 ** (len(dims) - 2))
+    total += cfg.num_middle_transformers * ff(tb, dims[-1])
+
+    t = tb  # up path mirrors down, with the concat-widened first resnet
+    for i, (dout, din) in enumerate(reversed(list(zip(dims[:-1], dims[1:])))):
+        n_blocks = tuple(reversed(cfg.num_layer_blocks))[i]
+        f_in = din + (dims[::-1][i + 1] if i + 1 < len(dims) else h)
+        total += _resblock(B, t, f_in, din) + _resblock(B, t, din, din) * n_blocks
+        total += ff(t, din) * n_blocks
+        if i < len(dims) - 2:
+            t *= 2
+    return total
+
+
+def train_step_flops(
+    cfg: ModelConfig, batch: int, seq: int, remat: bool = True, remat_mode: str = "save-attn"
+) -> float:
+    """Executed FLOPs of one train step: fwd + bwd (2x fwd) + the remat
+    recompute the configured mode actually performs."""
     fwd = unet_fwd_flops(cfg, batch, seq)
-    return fwd * (4.0 if remat else 3.0)
+    if not remat:
+        return fwd * 3.0
+    if remat_mode == "block":
+        return fwd * 4.0
+    return fwd * 3.0 + unet_remat_recompute_flops(cfg, batch, seq)

@@ -140,7 +140,7 @@ def test_local_window_unequal_blocks_matches_naive():
     zeroed whole rows at full-song lengths)."""
     q, k, v = make_qkv(B=1, T=512, H=16, Kv=1)
     window = 128
-    assert pa._choose_blocks(512, 512, 16) == (128, 512)
+    assert pa._choose_blocks(512, 512, 16) == (128, 512, 16)
     with pltpu.force_tpu_interpret_mode():
         out_flash = pa.flash_attention(q, k, v, window=window)
     out_naive = gqa_attention(q, k, v, window=window)
@@ -185,6 +185,29 @@ def test_small_window_unequal_blocks_matches_naive():
         out_naive = gqa_attention(q, k, v, window=window)
         np.testing.assert_allclose(
             np.asarray(out_flash), np.asarray(out_naive), atol=2e-5, rtol=2e-5, err_msg=f"window={window}"
+        )
+
+
+def test_wide_kv_narrow_q_backward_matches_naive():
+    """Wide (1024) KV blocks shrink block_q to 64 to keep the f32 logits
+    chunk inside VMEM — pin that production geometry fwd+bwd."""
+    q, k, v = make_qkv(B=1, T=1024, H=16, Kv=1)
+    assert pa._choose_blocks(1024, 1024, 16) == (64, 1024, 16), (
+        "config no longer exercises the wide-KV/narrow-Q path; update shapes"
+    )
+
+    def loss_flash(q, k, v):
+        return (pa.flash_attention(q, k, v) * 0.01).sum()
+
+    def loss_naive(q, k, v):
+        return (gqa_attention(q, k, v) * 0.01).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for gf, gn, name in zip(g_flash, g_naive, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gn), atol=5e-5, rtol=5e-4, err_msg=f"d{name} mismatch"
         )
 
 
