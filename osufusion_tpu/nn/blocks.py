@@ -17,6 +17,7 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from osufusion_tpu.nn.conv import MatmulConv
 from osufusion_tpu.ops.attention import sdpa
 from osufusion_tpu.ops.rope import apply_rope, rope_tables
 from osufusion_tpu.utils.profiling import named_scope
@@ -92,14 +93,15 @@ class CrossEmbedLayer(nn.Module):
             dim_scales = [*dim_scales, self.dim_out - sum(dim_scales)]
 
         outs = []
-        for kernel, dim_scale in zip(kernel_sizes, dim_scales):
+        for idx, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
             outs.append(
-                nn.Conv(
+                MatmulConv(
                     dim_scale,
                     kernel_size=(kernel,),
                     padding=kernel // 2,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
+                    name=f"Conv_{idx}",  # keep flax auto-names of the nn.Conv era
                 )(x)
             )
         return jnp.concatenate(outs, axis=-1)
@@ -115,13 +117,14 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)), mode="reflect")
-        return nn.Conv(
+        return MatmulConv(
             self.dim_out,
             kernel_size=(3,),
             strides=(2,),
             padding="VALID",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            name="Conv_0",
         )(x)
 
 
@@ -136,8 +139,8 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, c = x.shape
         x = jnp.repeat(x, 2, axis=1)
-        return nn.Conv(
-            self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype
+        return MatmulConv(
+            self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_0"
         )(x)
 
 
@@ -150,8 +153,8 @@ class ParallelConvOut(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        a = nn.Conv(self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype)(x)
-        b = nn.Conv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        a = MatmulConv(self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_0")(x)
+        b = MatmulConv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_1")(x)
         return a + b
 
 
@@ -206,7 +209,9 @@ class FiLMBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> jnp.ndarray:
-        x = nn.Conv(self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        x = MatmulConv(
+            self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_0"
+        )(x)
         x = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if scale_shift is not None:
             scale, shift = scale_shift
@@ -249,7 +254,7 @@ class ResidualBlock(nn.Module):
         h = h * gate_cls(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype)(h)
 
         if x.shape[-1] != self.dim_out:
-            x = nn.Conv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype)(x)
+            x = MatmulConv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_0")(x)
         return h + x
 
 

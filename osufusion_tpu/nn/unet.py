@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from osufusion_tpu.config import ModelConfig
+from osufusion_tpu.nn.conv import MatmulConv
 from osufusion_tpu.nn.blocks import (
     CondEmbedding,
     CrossEmbedLayer,
@@ -247,7 +248,7 @@ class UNet(nn.Module):
         ]
 
         self.final_resnet = ResidualBlock(cfg.dim_h, **common, name="final_resnet")
-        self.final_conv = nn.Conv(
+        self.final_conv = MatmulConv(
             cfg.dim_in_x,
             kernel_size=(1,),
             kernel_init=nn.initializers.zeros,
