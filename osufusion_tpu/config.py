@@ -48,6 +48,10 @@ class ModelConfig:
     # numerics
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # "fp8": big Dense dots run on dynamically-scaled float8_e4m3 operands
+    # with straight-through bf16 backward (ops/quant.py) — the TPU analog of
+    # the reference's MS-AMP O1 --mixed-precision fp8 (ref trainer.py:210)
+    quant: str = "none"
     remat: bool = False
     # remat granularity (only read when remat=True):
     #   "block"     — whole UNetBlocks under jax.checkpoint: smallest memory,

@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from osufusion_tpu.nn.conv import MatmulConv
 from osufusion_tpu.ops.attention import sdpa
+from osufusion_tpu.ops.quant import quantized_dot_general
 from osufusion_tpu.ops.rope import apply_rope, rope_tables
 from osufusion_tpu.utils.profiling import named_scope
 
@@ -281,13 +282,15 @@ class Attention(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)(x)
 
         q = nn.Dense(
-            self.dim_head * self.heads, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype, name="to_q"
+            self.dim_head * self.heads, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
+            dot_general=quantized_dot_general, name="to_q"
         )(x)
         kv = nn.Dense(
             self.dim_head * self.kv_heads * 2,
             use_bias=False,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            dot_general=quantized_dot_general,
             name="to_kv",
         )(x)
         k, v = jnp.split(kv, 2, axis=-1)
@@ -311,7 +314,9 @@ class Attention(nn.Module):
         window = self.context_len if (self.local and T > self.context_len) else None
         out = sdpa(q, k, v, backend=self.backend, window=window)
         out = out.reshape(B, T, self.heads * self.dim_head)
-        out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="to_out")(out)
+        out = nn.Dense(
+            C, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=quantized_dot_general, name="to_out"
+        )(out)
         return x + out
 
 
@@ -325,9 +330,14 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.Dense(self.dim * self.mult, dtype=self.dtype, param_dtype=self.param_dtype)(x)
+        h = nn.Dense(
+            self.dim * self.mult, dtype=self.dtype, param_dtype=self.param_dtype,
+            dot_general=quantized_dot_general,
+        )(x)
         h = nn.silu(h)
-        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=quantized_dot_general
+        )(h)
 
 
 class TransformerBlock(nn.Module):

@@ -306,6 +306,54 @@ def test_fp16_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_fp8_train_step():
+    """--mixed-precision fp8 parity surface (reference trainer.py:210, MS-AMP
+    O1): the big Dense dots run on dynamically-scaled e4m3 operands with a
+    straight-through bf16 backward (ops/quant.py); one step trains to a
+    finite loss and the quantized forward stays close to the exact one."""
+    import dataclasses
+
+    from osufusion_tpu.ops.quant import set_quantization
+
+    cfg = tiny_config()
+    model_cfg = dataclasses.replace(TINY_MODEL, dtype="bfloat16", quant="fp8")
+    model = build_model(model_cfg, cfg.diffusion)  # sets quantization mode
+    try:
+        mesh = make_mesh(data=8, model=1)
+        state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+        state, _ = shard_state(state, mesh)
+        step = make_train_step(model, cfg, mesh)
+        state, metrics = step(state, np_batch())
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        set_quantization("none")
+
+
+def test_fp8_dot_close_to_exact():
+    """Per-tensor e4m3 scaling keeps the quantized dense dot within fp8-level
+    relative error, and its straight-through gradients match the exact dot."""
+    from osufusion_tpu.ops.quant import quantized_dot_general, set_quantization
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 32, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (64, 48)), jnp.float32)
+    dn = (((2,), (0,)), ((), ()))
+
+    exact = jax.lax.dot_general(x, w, dn)
+    set_quantization("fp8")
+    try:
+        quant = quantized_dot_general(x, w, dn)
+        err = float(jnp.max(jnp.abs(quant - exact)) / jnp.max(jnp.abs(exact)))
+        assert err < 0.1, f"fp8 dot error too large: {err}"
+
+        g_exact = jax.grad(lambda x, w: (jax.lax.dot_general(x, w, dn) * 0.01).sum(), (0, 1))(x, w)
+        g_quant = jax.grad(lambda x, w: (quantized_dot_general(x, w, dn) * 0.01).sum(), (0, 1))(x, w)
+        for ge, gq in zip(g_exact, g_quant):
+            np.testing.assert_allclose(np.asarray(gq), np.asarray(ge), atol=1e-5, rtol=1e-5)
+    finally:
+        set_quantization("none")
+
+
 def test_zero1_opt_state_sharding():
     """Optimizer moments shard over the data axis (ZeRO-1) while params stay
     per the TP rules; one step runs and updates correctly on the mesh."""

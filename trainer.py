@@ -197,7 +197,9 @@ def parse_args() -> Config:
         help="skip per-crop star-rating recompute (reference default is ON, dataset.py:75)",
     )
     p.add_argument("--sample-density", type=float, default=1.0)
-    p.add_argument("--mixed-precision", type=str, default="bf16", choices=["no", "fp16", "bf16"])
+    p.add_argument(
+        "--mixed-precision", type=str, default="bf16", choices=["no", "fp16", "bf16", "fp8"]
+    )
     p.add_argument("--full-bf16", action="store_true")
     p.add_argument("--gradient-checkpointing", action="store_true")
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
@@ -228,12 +230,17 @@ def parse_args() -> Config:
     else:
         mode = "subsequence"
 
-    dtype = {"no": "float32", "fp16": "float16", "bf16": "bfloat16"}[args.mixed_precision]
+    # fp8 = bf16 activations + dynamically-scaled e4m3 dots on the big Dense
+    # layers (ops/quant.py) — the TPU analog of the reference's MS-AMP O1
+    dtype = {"no": "float32", "fp16": "float16", "bf16": "bfloat16", "fp8": "bfloat16"}[
+        args.mixed_precision
+    ]
     model = ModelConfig(
         dim_h=args.model_dim,
         attn_heads=args.model_attn_heads,
         attn_kv_heads=args.model_attn_kv_heads,
         dtype=dtype,
+        quant="fp8" if args.mixed_precision == "fp8" else "none",
         remat=args.gradient_checkpointing,
     )
     diffusion = DiffusionConfig(objective=args.model_type)
