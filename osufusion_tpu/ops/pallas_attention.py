@@ -140,11 +140,18 @@ def _stats_shape(B: int, nq: int, rows: int) -> tuple[int, int, int]:
 
 def _masked(s: jnp.ndarray, q_start, k_start, window: Optional[int], fold: int) -> jnp.ndarray:
     """Window-mask a (bq*fold, bk) logits chunk; row r sits at position
-    q_start + r//fold (fold consecutive rows share one query position)."""
+    q_start + r//fold (fold consecutive rows share one query position).
+
+    Positions are built from a (R, 1) and a (1, C) iota so the expensive
+    full-chunk iota + integer-divide passes never materialize — only the
+    broadcast subtract/compare/select touch all R*C lanes."""
     if window is None:
         return s
-    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // fold
-    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    rows = (
+        q_start
+        + jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) // fold
+    )
+    cols = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
     return jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
 
 
@@ -171,37 +178,58 @@ def _fwd_kernel(
     virtual = (i * bq - window // 2) // bk + j if window is not None else j
     valid = jnp.logical_and(virtual >= 0, virtual < nk) if window is not None else (j >= 0)
 
-    @pl.when(valid)
-    def _update():
-        rows = fold * bq
-        q = q_ref[0].reshape(rows, q_ref.shape[-1])  # (bq*H, D), seq-major
-        k = k_ref[0]  # (bk, D)
-        v = v_ref[0]
+    def _update(apply_mask):
+        def body():
+            rows = fold * bq
+            q = q_ref[0].reshape(rows, q_ref.shape[-1])  # (bq*H, D), seq-major
+            k = k_ref[0]  # (bk, D)
+            v = v_ref[0]
 
-        # fast (forward-only) mode keeps the logits/probabilities in bf16:
-        # the VPU packs 2 bf16 lanes per f32 lane and the l-sum still
-        # accumulates in f32. Softmax stats stay f32 in scratch. ~1e-3
-        # relative output error vs the exact path — in line with the bf16
-        # matmuls around it.
-        s_dtype = jnp.bfloat16 if fast else jnp.float32
-        # Mosaic requires a 32-bit matmul accumulator; the cast applies on the
-        # way out of the acc registers (no separate scale pass: scale*log2e is
-        # folded into q)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = _masked(s.astype(s_dtype), i * bq, virtual * bk, window, fold)
+            # fast (forward-only) mode keeps the logits/probabilities in
+            # bf16: the VPU packs 2 bf16 lanes per f32 lane and the l-sum
+            # still accumulates in f32. Softmax stats stay f32 in scratch.
+            # ~1e-3 relative output error vs the exact path — in line with
+            # the bf16 matmuls around it.
+            s_dtype = jnp.bfloat16 if fast else jnp.float32
+            # Mosaic requires a 32-bit matmul accumulator; the cast applies
+            # on the way out of the acc registers (no separate scale pass:
+            # scale*log2e is folded into q)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s.astype(s_dtype)
+            if apply_mask:
+                s = _masked(s, i * bq, virtual * bk, window, fold)
 
-        m_prev = m_ref[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True).astype(jnp.float32))
-        p = jnp.exp2(s - m_new.astype(s_dtype))
-        correction = jnp.exp2(m_prev - m_new)
-        l_new = correction * l_ref[:] + jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True).astype(jnp.float32))
+            p = jnp.exp2(s - m_new.astype(s_dtype))
+            correction = jnp.exp2(m_prev - m_new)
+            l_new = correction * l_ref[:] + jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
 
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            acc_ref[:] = acc_ref[:] * correction + pv
+            m_ref[:] = m_new
+            l_ref[:] = l_new
+
+        return body
+
+    if window is None:
+        pl.when(valid)(_update(False))
+    else:
+        # a KV block wholly inside every row's +/- window/2 span needs no
+        # masking at all — at full-song lengths most visited blocks are
+        # interior, and the mask's compare/select passes over the whole
+        # (rows, bk) chunk roughly double the windowed kernel's VPU work
+        w2 = window // 2
+        interior = jnp.logical_and(
+            virtual * bk + (bk - 1) - i * bq <= w2,
+            i * bq + (bq - 1) - virtual * bk <= w2,
         )
-        acc_ref[:] = acc_ref[:] * correction + pv
-        m_ref[:] = m_new
-        l_ref[:] = l_new
+        pl.when(jnp.logical_and(valid, interior))(_update(False))
+        pl.when(jnp.logical_and(valid, jnp.logical_not(interior)))(_update(True))
 
     @pl.when(j == n_visit - 1)
     def _finalize():
