@@ -32,10 +32,10 @@ osu_fusion/modules/attention.py:61-101) with a TPU-native tiled kernel:
 - custom VJP with the standard recompute backward; thanks to the fold, the
   dkv kernel accumulates all heads in-kernel and emits (B, S, D) directly.
 
-The kernel serves MQA (kv_heads == 1 — the production config of every model
-family here); GQA with kv_heads > 1 falls back to the XLA grouped einsum, as
-do shapes the kernel doesn't tile (sequence not a multiple of 64) and
-non-TPU backends.
+The kernel itself is MQA (kv_heads == 1 — the UNet's production config);
+GQA/MHA (the DiT/MMDiT backbones) run one MQA call per KV head over its
+contiguous query-head slice. Shapes the kernel doesn't tile (sequence not a
+multiple of 64) and non-TPU backends fall back to the XLA grouped einsum.
 """
 
 from __future__ import annotations
@@ -498,11 +498,10 @@ _flash_attention_seqmajor.defvjp(_fwd_rule, _bwd_rule)
 
 
 def flash_attention_available(t: int, s: int, d: int, h: int = 1, kv: int = 1) -> bool:
-    """Can the kernel tile this shape? Requires a lane-friendly head dim,
-    block-divisible sequence lengths, and a single KV head (MQA — the
-    production config; see module docstring). GQA with kv > 1 runs on the
-    XLA grouped-einsum path instead."""
-    return d % 64 == 0 and kv == 1 and _pick_block(t, 512) > 0 and _pick_block(s, 512) > 0
+    """Can the kernel tile this shape? Requires a lane-friendly head dim and
+    block-divisible sequence lengths. kv > 1 (GQA/MHA) is served by slicing
+    into per-KV-head MQA calls (see ``flash_attention``)."""
+    return d % 64 == 0 and h % max(kv, 1) == 0 and _pick_block(t, 512) > 0 and _pick_block(s, 512) > 0
 
 
 def flash_attention(
@@ -521,10 +520,20 @@ def flash_attention(
     S, Kv = k.shape[1], k.shape[2]
     assert H % Kv == 0
     if Kv != 1:
-        # grouped KV: the XLA einsum path handles it (see availability note)
-        from osufusion_tpu.ops.attention import gqa_attention
-
-        return gqa_attention(q, k, v, window=window)
+        # GQA: run the MQA kernel once per KV head on its contiguous slice of
+        # query heads (heads [g*group, (g+1)*group) share KV head g). Two
+        # slice/concat passes over q/o per call — still O(T*D) memory where
+        # the XLA einsum fallback materializes O(T^2) logits (4+ GB per DiT
+        # site at the production context).
+        group = H // Kv
+        outs = [
+            flash_attention(
+                q[:, :, g * group : (g + 1) * group, :], k[:, :, g : g + 1, :],
+                v[:, :, g : g + 1, :], window,
+            )
+            for g in range(Kv)
+        ]
+        return jnp.concatenate(outs, axis=2)
     bq, bk, fold = _choose_blocks(T, S, H)
     assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
     if window is not None and S <= window:

@@ -92,6 +92,29 @@ def test_timing_signal_sawtooth(tmp_path):
     assert ts[0, i0] == pytest.approx((ft[i0] - 1000.0) % 500 / 500, abs=1e-9)
 
 
+def test_timing_signal_round_trip():
+    """decode_timing_signal recovers piecewise-constant tempo: BPM, meter and
+    beat-boundary alignment for a two-tempo synthetic signal."""
+    from osufusion_tpu.codec.timing import decode_timing_signal
+    from osufusion_tpu.osu.hit_objects import TimingPoint
+
+    ft = frame_times_for(4096)  # 8 ms frames
+    tps = [TimingPoint(500.0, 400.0, None, 4, None), TimingPoint(15000.0, 320.0, None, 3, None)]
+
+    class _FakeMap:
+        uninherited_timing_points = tps
+
+    ts = timing_signal(_FakeMap(), ft)
+    decoded = decode_timing_signal(ts, ft)
+    assert len(decoded) == 2, [d.beat_length for d in decoded]
+    for want, got in zip(tps, decoded):
+        assert got.beat_length == pytest.approx(want.beat_length, rel=0.01)
+        assert got.meter == want.meter
+        # decoded t sits on a beat boundary of the true grid
+        resid = (got.t - want.t) % want.beat_length
+        assert min(resid, want.beat_length - resid) < 10.0  # within ~1 frame
+
+
 def test_fit_bezier_error_bound():
     rng = np.random.default_rng(0)
     t = np.linspace(0, 1, 60)

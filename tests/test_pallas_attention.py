@@ -37,8 +37,9 @@ def test_flash_forward_multiblock():
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_naive), atol=2e-5, rtol=2e-5)
 
 
-def test_flash_backward_matches_naive():
-    q, k, v = make_qkv(B=1, T=256, H=2, Kv=1)
+@pytest.mark.parametrize("kv_heads", [1, 2])
+def test_flash_backward_matches_naive(kv_heads):
+    q, k, v = make_qkv(B=1, T=256, H=2, Kv=kv_heads)
 
     def loss_flash(q, k, v):
         return (pa.flash_attention(q, k, v) * 0.01).sum()
