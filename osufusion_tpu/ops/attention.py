@@ -68,38 +68,6 @@ def sdpa(
     return gqa_attention(q, k, v, window=window)
 
 
-def sdpa_headmajor(
-    qh: jnp.ndarray,  # (B, H, T, D)
-    kh: jnp.ndarray,  # (B, Kv, S, D)
-    vh: jnp.ndarray,  # (B, Kv, S, D)
-    backend: str = "auto",
-    window: int | None = None,
-) -> jnp.ndarray:
-    """Head-major compatibility dispatch. The kernel's native layout is now
-    SEQUENCE-major (``sdpa``) — this wrapper pays transposes around it.
-    Returns (B, H, T, D)."""
-    from osufusion_tpu.ops.pallas_attention import (
-        flash_attention_available,
-        flash_attention_headmajor,
-    )
-
-    B, H, T, D = qh.shape
-    S, Kv = kh.shape[2], kh.shape[1]
-    use_flash = (
-        not _FORCE_XLA.get()
-        and (
-            backend == "pallas"
-            or (backend == "auto" and on_tpu() and flash_attention_available(T, S, D, H, Kv))
-        )
-    )
-    if use_flash:
-        return flash_attention_headmajor(qh, kh, vh, window=window)
-    o = gqa_attention(
-        jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2), jnp.swapaxes(vh, 1, 2), window=window
-    )
-    return jnp.swapaxes(o, 1, 2)
-
-
 def gqa_attention(
     q: jnp.ndarray,  # (B, T, H, D)
     k: jnp.ndarray,  # (B, S, Kv, D)

@@ -544,16 +544,3 @@ def flash_attention(
         q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window, _INFERENCE.get()
     )
     return o
-
-
-def flash_attention_headmajor(
-    qh: jnp.ndarray,  # (B, H, T, D)
-    kh: jnp.ndarray,  # (B, Kv, S, D)
-    vh: jnp.ndarray,  # (B, Kv, S, D)
-    window: Optional[int] = None,
-) -> jnp.ndarray:
-    """Head-major compatibility wrapper around the seq-major kernel."""
-    o = flash_attention(
-        jnp.swapaxes(qh, 1, 2), jnp.swapaxes(kh, 1, 2), jnp.swapaxes(vh, 1, 2), window
-    )
-    return jnp.swapaxes(o, 1, 2)

@@ -45,12 +45,3 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     cos = cos.astype(x.dtype)
     sin = sin.astype(x.dtype)
     return x * cos + rotate_half(x) * sin
-
-
-def apply_rope_headmajor(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, H, T, D) head-major; tables (T, D). Same dtype policy as
-    ``apply_rope``. Head-major lets XLA fuse the preceding (B,T,H,D) ->
-    (B,H,T,D) transpose into this elementwise pass."""
-    cos = cos[None, None].astype(x.dtype)
-    sin = sin[None, None].astype(x.dtype)
-    return x * cos + rotate_half(x) * sin

@@ -91,6 +91,27 @@ def test_train_step_dp_tp_mesh():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_tp_matches_dp_numerics():
+    """The same train state stepped on a DP-only mesh and a DP x TP mesh must
+    produce the same loss and parameters: GSPMD sharding is a layout choice,
+    not a math change."""
+    results = []
+    for d, m in [(4, 1), (2, 4)]:
+        cfg = tiny_config(batch_size=4, mesh_data=d, mesh_model=m)
+        model = build_model(cfg.model, cfg.diffusion)
+        mesh = make_mesh(data=d, model=m)
+        state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+        state, _ = shard_state(state, mesh)
+        step = make_train_step(model, cfg, mesh)
+        state, metrics = step(state, np_batch(B=4))
+        results.append((float(metrics["loss"]), jax.tree.map(np.asarray, jax.device_get(state.params))))
+
+    (loss_dp, p_dp), (loss_tp, p_tp) = results
+    assert loss_dp == pytest.approx(loss_tp, rel=1e-4)
+    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_tp)):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4)
+
+
 def test_grad_accumulation_matches_big_batch():
     cfg_accum = tiny_config(gradient_accumulation_steps=2, batch_size=4)
     model = build_model(cfg_accum.model, cfg_accum.diffusion)
