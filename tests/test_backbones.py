@@ -88,3 +88,55 @@ def test_dit_null_cond_changes_output():
     out_cond = model.unet.apply(params, x, a, t, c, jnp.array([True]))
     out_null = model.unet.apply(params, x, a, t, c, jnp.array([False]))
     assert not np.allclose(np.asarray(out_cond), np.asarray(out_null))
+
+
+def test_matmul_conv_matches_lax_conv():
+    """MatmulConv's shifted-dot formulation is numerically the same conv as
+    lax.conv for every geometry the model uses: k=3 SAME, k=1, k=15 padded,
+    and the stride-2 VALID downsampler."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from osufusion_tpu.nn.conv import MatmulConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 64, 96)), jnp.float32)  # Cin >= 64: matmul path
+
+    for kwargs in (
+        dict(features=80, kernel_size=(3,), padding=1),
+        dict(features=80, kernel_size=(1,)),
+        dict(features=40, kernel_size=(15,), padding=7),
+        dict(features=80, kernel_size=(3,), strides=(2,), padding="VALID"),
+    ):
+        mc = MatmulConv(**kwargs)
+        params = mc.init(jax.random.PRNGKey(0), x)
+        got = mc.apply(params, x)
+        k = kwargs["kernel_size"][0]
+        pad = kwargs.get("padding", "SAME")
+        pad = (k - 1) // 2 if pad == "SAME" else (0 if pad == "VALID" else int(pad))
+        want = jax.lax.conv_general_dilated(
+            x,
+            params["params"]["kernel"],
+            kwargs.get("strides", (1,)),
+            [(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        ) + params["params"]["bias"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4)
+
+
+def test_matmul_conv_param_compat_with_nn_conv():
+    """Parameter names/shapes are identical to flax nn.Conv, so round-1
+    checkpoints and the PyTorch transplant maps keep working."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from osufusion_tpu.nn.conv import MatmulConv
+
+    x = jnp.zeros((1, 16, 96))
+    p_new = MatmulConv(features=24, kernel_size=(3,), padding=1).init(jax.random.PRNGKey(0), x)
+    p_old = nn.Conv(features=24, kernel_size=(3,), padding=1).init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p_new) == jax.tree_util.tree_structure(p_old)
+    for a, b in zip(jax.tree.leaves(p_new), jax.tree.leaves(p_old)):
+        assert a.shape == b.shape and a.dtype == b.dtype
