@@ -20,7 +20,7 @@ from flax import linen as nn
 from osufusion_tpu.nn.conv import MatmulConv
 from osufusion_tpu.ops.attention import sdpa
 from osufusion_tpu.ops.quant import quantized_dot_general
-from osufusion_tpu.ops.rope import apply_rope, rope_tables
+from osufusion_tpu.ops.rope import rope_tables
 from osufusion_tpu.utils.profiling import named_scope
 
 Dtype = jnp.dtype
@@ -302,9 +302,10 @@ class Attention(nn.Module):
         k = k.reshape(B, T, self.kv_heads, self.dim_head)
         v = v.reshape(B, T, self.kv_heads, self.dim_head)
 
-        cos, sin = rope_tables(T, self.dim_head, scale_base=self.context_len)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        # rope is delegated to the sdpa dispatch: on the forward-only
+        # inference path it fuses into the flash kernel (no whole-tensor
+        # rotate-half passes); elsewhere it applies here-equivalent XLA math
+        rope = rope_tables(T, self.dim_head, scale_base=self.context_len)
 
         # the window only engages BEYOND the trained context: sequences up to
         # context_len attend globally — bit-identical to the reference's
@@ -312,7 +313,7 @@ class Attention(nn.Module):
         # full-song sampling bounds each query to a context_len-wide field
         # (+/- window/2), the same receptive width training saw
         window = self.context_len if (self.local and T > self.context_len) else None
-        out = sdpa(q, k, v, backend=self.backend, window=window)
+        out = sdpa(q, k, v, backend=self.backend, window=window, rope=rope)
         out = out.reshape(B, T, self.heads * self.dim_head)
         out = nn.Dense(
             C, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=quantized_dot_general, name="to_out"

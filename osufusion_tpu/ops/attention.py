@@ -50,21 +50,31 @@ def sdpa(
     v: jnp.ndarray,
     backend: str = "auto",
     window: int | None = None,
+    rope: tuple | None = None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas flash kernel on TPU for tileable shapes, XLA einsum
     otherwise. q (B, T, H, D); k/v (B, S, Kv, D). ``window`` (tokens) enables
-    sliding-window local attention: each query sees keys within +/- window/2."""
+    sliding-window local attention: each query sees keys within +/- window/2.
+    ``rope`` = (cos, sin) tables (T, D) — when given, q/k arrive UNROTATED
+    and the rotary embedding is applied here (fused into the kernel on the
+    forward-only inference path)."""
     from osufusion_tpu.ops.pallas_attention import flash_attention, flash_attention_available
+    from osufusion_tpu.ops.rope import apply_rope
 
     B, T, H, D = q.shape
     S, Kv = k.shape[1], k.shape[2]
-    if _FORCE_XLA.get():
-        return gqa_attention(q, k, v, window=window)
-    use_flash = backend == "pallas" or (
-        backend == "auto" and on_tpu() and flash_attention_available(T, S, D, H, Kv)
+    use_flash = (
+        not _FORCE_XLA.get()
+        and (
+            backend == "pallas"
+            or (backend == "auto" and on_tpu() and flash_attention_available(T, S, D, H, Kv))
+        )
     )
     if use_flash:
-        return flash_attention(q, k, v, window=window)
+        return flash_attention(q, k, v, window=window, rope=rope)
+    if rope is not None:
+        q = apply_rope(q, *rope)
+        k = apply_rope(k, *rope)
     return gqa_attention(q, k, v, window=window)
 
 

@@ -158,13 +158,24 @@ def _masked(s: jnp.ndarray, q_start, k_start, window: Optional[int], fold: int) 
 # ----------------------------------------------------------------- forward
 
 
+def _rot_half(x: jnp.ndarray) -> jnp.ndarray:
+    """rotate-half on the last (head) dim, in VMEM."""
+    d = x.shape[-1]
+    return jnp.concatenate([-x[..., d // 2 :], x[..., : d // 2]], axis=-1)
+
+
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, bq, bk, nk, fold, window, fast
+    *refs, bq, bk, nk, fold, window, fast, rope
 ):
     """One (q-block, kv-visit) step. q_ref block is (1, bq, H, D) read
     straight from the seq-major (B, T, H, D) array; the merge to (bq*H, D)
     rows is a VMEM layout no-op (row r = (t=r//H, h=r%H)). Logits are in the
-    exp2 domain (q pre-scaled by scale*log2e)."""
+    exp2 domain (q pre-scaled by scale*log2e — or, with ``rope``, by tables
+    that carry the scale; see ``_flash_fwd``)."""
+    if rope:
+        q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
     i = pl.program_id(1)
     j = pl.program_id(2)
     n_visit = pl.num_programs(2)
@@ -181,8 +192,20 @@ def _fwd_kernel(
     def _update(apply_mask):
         def body():
             rows = fold * bq
-            q = q_ref[0].reshape(rows, q_ref.shape[-1])  # (bq*H, D), seq-major
-            k = k_ref[0]  # (bk, D)
+            if rope:
+                # fused rotary embedding: the whole-tensor rotate-half
+                # read/write passes over q and k in HBM disappear. The q
+                # tables arrive PRE-EXPANDED to row space (row r = t*fold+h
+                # -> table row t, done with a constant-folded jnp.repeat
+                # outside) and carry the softmax scale, so everything here
+                # is plain 2D elementwise work
+                q = q_ref[0].reshape(rows, q_ref.shape[-1])
+                q = q * cq_ref[:] + _rot_half(q) * sq_ref[:]
+                k = k_ref[0]
+                k = k * ck_ref[:] + _rot_half(k) * sk_ref[:]
+            else:
+                q = q_ref[0].reshape(rows, q_ref.shape[-1])  # (bq*H, D), seq-major
+                k = k_ref[0]  # (bk, D)
             v = v_ref[0]
 
             # fast (forward-only) mode keeps the logits/probabilities in
@@ -240,9 +263,12 @@ def _fwd_kernel(
         lse_ref[0] = (m_ref[:] + jnp.log2(l)) * LN2  # (rows, 1)
 
 
-def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False):
-    """q: seq-major (B, T, H, D), PRE-SCALED by scale*log2e; k/v: (B, S, D)
-    rank-3 MQA. Returns (o, lse) with lse in ``_stats_shape`` layout."""
+def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None):
+    """q: seq-major (B, T, H, D); k/v: (B, S, D) rank-3 MQA. Without ``rope``
+    q must arrive PRE-SCALED by scale*log2e. With ``rope`` = (cos_q, sin_q,
+    cos_k, sin_k) tables, q/k arrive raw and the kernel applies the rotary
+    embedding in VMEM (the q tables must carry the scale*log2e factor).
+    Returns (o, lse) with lse in ``_stats_shape`` layout."""
     B, T, H, D = q.shape
     S = k.shape[1]
     rows = fold * bq
@@ -255,18 +281,38 @@ def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False):
         jj = jnp.clip((i * bq - window // 2) // bk + j, 0, nk - 1) if local else j
         return (b, jj, 0)
 
+    def q_table_index(b, i, j):
+        return (i, 0)  # on the row-expanded (T*fold, D) q tables
+
+    def k_table_index(b, i, j):
+        jj = jnp.clip((i * bq - window // 2) // bk + j, 0, nk - 1) if local else j
+        return (jj, 0)
+
     kernel = functools.partial(
-        _fwd_kernel, bq=bq, bk=bk, nk=nk, fold=fold, window=window, fast=fast
+        _fwd_kernel, bq=bq, bk=bk, nk=nk, fold=fold, window=window, fast=fast,
+        rope=rope is not None,
     )
+
+    in_specs = [
+        pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
+        pl.BlockSpec((1, bk, D), kv_index),
+        pl.BlockSpec((1, bk, D), kv_index),
+    ]
+    operands = [q, k, v]
+    if rope is not None:
+        cos_q, sin_q, cos_k, sin_k = rope  # q tables row-expanded (T*fold, D)
+        in_specs += [
+            pl.BlockSpec((rows, D), q_table_index),
+            pl.BlockSpec((rows, D), q_table_index),
+            pl.BlockSpec((bk, D), k_table_index),
+            pl.BlockSpec((bk, D), k_table_index),
+        ]
+        operands += [cos_q, sin_q, cos_k, sin_k]
 
     o, lse = pl.pallas_call(
         kernel,
         grid=(B, nq, n_visit),
-        in_specs=[
-            pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
-            pl.BlockSpec((1, bk, D), kv_index),
-            pl.BlockSpec((1, bk, D), kv_index),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
             pl.BlockSpec((1, rows, 1), lambda b, i, j: (b, i, 0)),
@@ -283,7 +329,7 @@ def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
-    )(q, k, v)
+    )(*operands)
     return o, lse
 
 
@@ -509,13 +555,14 @@ def flash_attention(
     k: jnp.ndarray,  # (B, S, Kv, D)
     v: jnp.ndarray,  # (B, S, Kv, D)
     window: Optional[int] = None,
+    rope: Optional[tuple] = None,  # (cos, sin) tables (T, D); q/k arrive unroped
 ) -> jnp.ndarray:
     """Sequence-major MQA flash attention, optionally windowed. Returns
     (B, T, H, D). This is the kernel's NATIVE layout — the (B, T, H*D)
     outputs of the QKV projections reshape into it for free, so the whole
     attention path runs without a single XLA-side transpose; the softmax
-    scale and exp2-domain factor below fuse into the upstream elementwise
-    pass (RoPE)."""
+    scale and exp2-domain factor fuse into the rotary-embedding pass (which
+    itself runs INSIDE the kernel on the forward-only inference path)."""
     B, T, H, D = q.shape
     S, Kv = k.shape[1], k.shape[2]
     assert H % Kv == 0
@@ -529,7 +576,7 @@ def flash_attention(
         outs = [
             flash_attention(
                 q[:, :, g * group : (g + 1) * group, :], k[:, :, g : g + 1, :],
-                v[:, :, g : g + 1, :], window,
+                v[:, :, g : g + 1, :], window, rope,
             )
             for g in range(Kv)
         ]
@@ -539,7 +586,36 @@ def flash_attention(
     if window is not None and S <= window:
         window = None  # window covers the whole sequence: run the global path
 
-    q = q * jnp.asarray(D**-0.5 * LOG2E, q.dtype)
+    scale = D**-0.5 * LOG2E
+    if rope is not None and _INFERENCE.get() and T == S:
+        # forward-only: fuse the rotary embedding into the kernel — the
+        # whole-tensor rotate-half read/write passes over q and k disappear.
+        # The q tables absorb the softmax/exp2 scale (tables are tiny).
+        # The table blocks + rotate temporaries need VMEM headroom: halve the
+        # folded rows vs the plain inference config.
+        bq = _pick_block(T, max(64, 1024 // H))
+        cos, sin = rope
+        tables = (
+            # q tables: row-expanded to (T*fold, D) — row r = t*fold + h maps
+            # to table row t — and carrying the softmax/exp2 scale. Tables
+            # are trace-time constants, so XLA folds the repeat once.
+            jnp.repeat((cos * scale).astype(q.dtype), fold, axis=0),
+            jnp.repeat((sin * scale).astype(q.dtype), fold, axis=0),
+            cos.astype(k.dtype),
+            sin.astype(k.dtype),
+        )
+        o, _ = _flash_fwd(
+            q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window,
+            fast=True, rope=tables,
+        )
+        return o
+    if rope is not None:
+        from osufusion_tpu.ops.rope import apply_rope
+
+        q = apply_rope(q, *rope)
+        k = apply_rope(k, *rope)
+
+    q = q * jnp.asarray(scale, q.dtype)
     o = _flash_attention_seqmajor(
         q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window, _INFERENCE.get()
     )

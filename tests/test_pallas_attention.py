@@ -223,3 +223,20 @@ def test_inference_fast_path_close_to_exact():
             fast = pa.flash_attention(q, k, v, window=512)
     err = np.abs(np.asarray(fast, np.float32) - np.asarray(exact, np.float32)).max()
     assert err < 0.02, f"fast-path error too large: {err}"
+
+
+def test_fused_rope_inference_matches_xla_rope():
+    """The in-kernel rotary embedding of the forward-only path matches the
+    XLA-side apply_rope + exact kernel within bf16-level error."""
+    from osufusion_tpu.ops.pallas_attention import inference_attention
+    from osufusion_tpu.ops.rope import apply_rope, rope_tables
+
+    q, k, v = make_qkv(B=1, T=512, H=16, Kv=1, dtype=jnp.bfloat16)
+    tables = rope_tables(512, 64, scale_base=512.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        exact = pa.flash_attention(apply_rope(q, *tables), apply_rope(k, *tables), v, window=256)
+        with inference_attention():
+            fused = pa.flash_attention(q, k, v, window=256, rope=tables)
+    err = np.abs(np.asarray(fused, np.float32) - np.asarray(exact, np.float32)).max()
+    assert err < 0.03, f"fused-rope error too large: {err}"
