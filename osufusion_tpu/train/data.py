@@ -329,7 +329,16 @@ class DataPipeline:
                 fut = self._executor.submit(self.dataset.materialize, map_file, epoch, index)
                 self._futures.append((epoch, index, fut))
             epoch, index, fut = self._futures.popleft()
-            self._buf.extend(fut.result())
+            produced = fut.result()
+            # exact-resume invariant: state() is {epoch, index} ONLY, so a
+            # position may contribute at most one sample — a multi-sample
+            # materialize would need a within-position offset in state() to
+            # avoid dropping/duplicating buffered samples across resume
+            assert len(produced) <= 1, (
+                f"materialize({index}) produced {len(produced)} samples; "
+                "DataPipeline's resume state assumes at most one per position"
+            )
+            self._buf.extend(produced)
             self._next_state = {"epoch": epoch, "index": index + 1}
             if len(self._buf) >= self.batch_size:
                 batch = collate(self._buf[: self.batch_size], self.bucket)

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 
 from pathlib import Path
-from typing import Any, Iterator, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,10 +109,15 @@ def make_train_step(model: GenerativeModel, cfg: Config, mesh: Mesh):
     tx = make_optimizer(cfg)
     lr_sched = make_lr_schedule(cfg)
     accum = cfg.train.gradient_accumulation_steps
+    # fp16 has a ~5.96e-8 smallest normal: without scaling, small gradients
+    # underflow to zero (the reference routes fp16 through Accelerate's
+    # GradScaler). A static 2^12 scale on the loss, divided back out of the
+    # grads, keeps the bwd pass in fp16's dynamic range; bf16/f32 need none.
+    loss_scale = 4096.0 if cfg.train.mixed_precision == "fp16" else 1.0
 
     def loss_fn(params, rng, batch):
         x, a, c, orig_len = batch
-        return model.loss(params, rng, x, a, c, orig_len)
+        return model.loss(params, rng, x, a, c, orig_len) * loss_scale
 
     def step_fn(state: TrainState, batch):
         rng, rng_step = jax.random.split(state.rng)
@@ -134,6 +139,10 @@ def make_train_step(model: GenerativeModel, cfg: Config, mesh: Mesh):
             (grads, loss), _ = jax.lax.scan(micro, (zero_grads, 0.0), (rngs, batch))
             grads = jax.tree.map(lambda g: g / accum, grads)
             loss = loss / accum
+
+        if loss_scale != 1.0:
+            grads = jax.tree.map(lambda g: (g.astype(jnp.float32) / loss_scale).astype(g.dtype), grads)
+            loss = loss / loss_scale
 
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -218,8 +227,3 @@ def load_data_state(project_dir: Path, current_step: int) -> Optional[dict]:
     return {"epoch": int(st["epoch"]), "index": int(st["index"])}
 
 
-def data_iterator_for(cfg: Config, paths) -> Iterator:
-    from osufusion_tpu.train import data as D
-
-    ds = D.make_dataset(cfg.train.dataset_mode, paths, seed=cfg.train.seed, segment_length=cfg.train.segment_length)
-    return D.DataPipeline(ds, cfg.train.batch_size, num_workers=cfg.train.num_workers)

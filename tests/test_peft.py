@@ -184,3 +184,168 @@ def test_merge_nan_safety(model_and_params):
     bad[first]["b"] = bad[first]["b"].at[0, 0].set(jnp.nan)
     with pytest.raises(ValueError, match="NaNs detected"):
         merge_lora(params, bad, cfg)
+
+
+def test_peft_grad_accumulation_equivalence(model_and_params):
+    """make_peft_step(accum=2) must equal the hand-computed two-micro-batch
+    average: same rng split tree, same averaged grads, same optimizer update
+    (reference trainer_peft.py:390 --gradient-accumulation-steps)."""
+    import optax
+
+    from osufusion_tpu.parallel import make_mesh
+    from trainer_peft import make_peft_step, shard_peft
+
+    model, params = model_and_params
+    cfg = LoraConfig(r=4, use_dora=True)
+    adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(adapters)
+    mesh = make_mesh(data=4, model=1)
+    base_params, adapters, opt_state = shard_peft(params, adapters, opt_state, mesh)
+
+    rng = jax.random.PRNGKey(0)
+    r = np.random.default_rng(0)
+    x = r.uniform(-1, 1, (2, 4, 6, 64)).astype(np.float32)
+    a = r.normal(-10, 1, (2, 4, 96, 64)).astype(np.float32)
+    c = np.zeros((2, 4, 5), dtype=np.float32)
+    ol = np.full((2, 4), 64, dtype=np.int32)
+
+    # hand-rolled reference: same split tree as the jitted step
+    _, rng_step = jax.random.split(rng)
+    rngs = jax.random.split(rng_step, 2)
+
+    def loss_fn(ad, key, mb):
+        mx, ma, mc, mol = mb
+        return model.loss(apply_lora(params, ad, cfg), key, mx, ma, mc, mol)
+
+    ad_host = jax.tree.map(np.asarray, adapters)
+    g0 = jax.grad(loss_fn)(ad_host, rngs[0], (x[0], a[0], c[0], ol[0]))
+    g1 = jax.grad(loss_fn)(ad_host, rngs[1], (x[1], a[1], c[1], ol[1]))
+    grads_ref = jax.tree.map(lambda u, v: (u + v) / 2, g0, g1)
+    updates, _ = tx.update(grads_ref, tx.init(ad_host), ad_host)
+    expect = optax.apply_updates(ad_host, updates)
+
+    step_fn = make_peft_step(model, cfg, tx, mesh, accum=2)
+    adapters, opt_state, rng, loss, grad_norm = step_fn(adapters, opt_state, base_params, rng, (x, a, c, ol))
+    assert np.isfinite(float(loss))
+    for got, want in zip(jax.tree.leaves(adapters), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-4)
+
+
+def test_adapter_checkpoint_pruning(tmp_path):
+    """--max-num-checkpoints prunes loras/checkpoint-* to the newest N
+    (reference trainer_peft.py:160-165)."""
+    from trainer_peft import prune_adapter_checkpoints
+
+    for s in (100, 200, 300, 1000, 2000):
+        (tmp_path / "loras" / f"checkpoint-{s}").mkdir(parents=True)
+    prune_adapter_checkpoints(tmp_path, 2)
+    left = sorted(p.name for p in (tmp_path / "loras").glob("checkpoint-*"))
+    assert left == ["checkpoint-1000", "checkpoint-2000"]
+
+
+def test_adapter_optimizer_structure_check(tmp_path, model_and_params):
+    """Loading an optimizer sidecar saved under a different optax chain must
+    fail loudly, not silently unflatten moments by leaf order."""
+    import optax
+
+    from trainer_peft import load_adapter_checkpoint, save_adapter_checkpoint
+
+    _, params = model_and_params
+    cfg = LoraConfig(r=4)
+    adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+    tx1 = optax.adamw(1e-3)
+    save_adapter_checkpoint(adapters, tx1.init(adapters), 10, tmp_path, cfg)
+
+    tx2 = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    with pytest.raises(ValueError, match="different optax chain"):
+        load_adapter_checkpoint(tmp_path / "loras" / "checkpoint-10", adapters, tx2.init(adapters))
+
+    # and the matching chain round-trips
+    ad2, opt2, step = load_adapter_checkpoint(
+        tmp_path / "loras" / "checkpoint-10", adapters, tx1.init(adapters)
+    )
+    assert step == 10
+    for got, want in zip(jax.tree.leaves(ad2), jax.tree.leaves(adapters)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fp8_peft_step(model_and_params):
+    """--mixed-precision fp8 on the PEFT CLI: an adapter step through the
+    quantized Dense dots trains to a finite loss."""
+    import dataclasses
+
+    import optax
+
+    from osufusion_tpu.models import build_model
+    from osufusion_tpu.ops.quant import set_quantization
+    from osufusion_tpu.parallel import make_mesh
+    from trainer_peft import make_peft_step, shard_peft
+
+    from osufusion_tpu.config import DiffusionConfig
+
+    model = build_model(dataclasses.replace(TINY, dtype="bfloat16", quant="fp8"), DiffusionConfig())
+    try:
+        params = model.init_params(jax.random.PRNGKey(0), seq_len=64)
+        # zero-init output conv kills all upstream grads (see model_and_params)
+        fc = params["params"]["final_conv"]
+        fc["kernel"] = jax.random.normal(jax.random.PRNGKey(9), fc["kernel"].shape) * 0.1
+        cfg = LoraConfig(r=4, use_dora=True)
+        adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(adapters)
+        mesh = make_mesh(data=4, model=1)
+        base_params, adapters, opt_state = shard_peft(params, adapters, opt_state, mesh)
+        step_fn = make_peft_step(model, cfg, tx, mesh)
+        r = np.random.default_rng(0)
+        batch = (
+            r.uniform(-1, 1, (4, 6, 64)).astype(np.float32),
+            r.normal(-10, 1, (4, 96, 64)).astype(np.float32),
+            np.zeros((4, 5), dtype=np.float32),
+            np.full(4, 64, dtype=np.int32),
+        )
+        adapters, opt_state, _, loss, grad_norm = step_fn(
+            adapters, opt_state, base_params, jax.random.PRNGKey(0), batch
+        )
+        assert np.isfinite(float(loss))
+        assert float(grad_norm) > 0
+    finally:
+        set_quantization("none")
+
+
+def test_remat_peft_step(model_and_params):
+    """--gradient-checkpointing on the PEFT CLI: the rematted model's adapter
+    step matches the un-rematted one (remat is a memory choice, not math)."""
+    import dataclasses
+
+    import optax
+
+    from osufusion_tpu.models import build_model
+    from osufusion_tpu.parallel import make_mesh
+    from trainer_peft import make_peft_step, shard_peft
+
+    from osufusion_tpu.config import DiffusionConfig
+
+    losses = []
+    for remat in (False, True):
+        model = build_model(dataclasses.replace(TINY, remat=remat), DiffusionConfig())
+        params = model.init_params(jax.random.PRNGKey(0), seq_len=64)
+        cfg = LoraConfig(r=4, use_dora=True)
+        adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(adapters)
+        mesh = make_mesh(data=4, model=1)
+        base_params, adapters, opt_state = shard_peft(params, adapters, opt_state, mesh)
+        step_fn = make_peft_step(model, cfg, tx, mesh)
+        r = np.random.default_rng(0)
+        batch = (
+            r.uniform(-1, 1, (4, 6, 64)).astype(np.float32),
+            r.normal(-10, 1, (4, 96, 64)).astype(np.float32),
+            np.zeros((4, 5), dtype=np.float32),
+            np.full(4, 64, dtype=np.int32),
+        )
+        adapters, opt_state, _, loss, _ = step_fn(
+            adapters, opt_state, base_params, jax.random.PRNGKey(0), batch
+        )
+        losses.append(float(loss))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)

@@ -25,9 +25,15 @@ if not REFERENCE.exists():  # pragma: no cover
     pytest.skip("reference checkout not available", allow_module_level=True)
 
 sys.path.insert(0, str(REFERENCE))
-
-from osu_fusion.modules import attention as ref_attention  # noqa: E402
-from osu_fusion.modules.unet import UNet as RefUNet  # noqa: E402
+try:
+    from osu_fusion.modules import attention as ref_attention  # noqa: E402
+    from osu_fusion.modules.unet import UNet as RefUNet  # noqa: E402
+finally:
+    # the reference root also holds top-level trainer.py/trainer_peft.py that
+    # would shadow OUR entry points for every later-collected test; the
+    # osu_fusion package is already bound in sys.modules, so submodule
+    # imports inside the tests keep working without the path entry
+    sys.path.remove(str(REFERENCE))
 
 from osufusion_tpu.config import ModelConfig  # noqa: E402
 from osufusion_tpu.nn.unet import UNet  # noqa: E402

@@ -390,3 +390,103 @@ def test_zero1_opt_state_sharding():
     step = make_train_step(model, cfg, mesh)
     state, metrics = step(state, np_batch())
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ------------------------------------------------------- trainer sampling hook
+
+
+def test_sample_step_pads_to_flash_tileable_length(tmp_path, monkeypatch):
+    """The trainer's periodic sampling hook (reference trainer.py:98-140) must
+    pad real song lengths to the serving path's LENGTH_BUCKET so every UNet
+    level stays on the flash-attention tiling: an unpadded 22553-frame song
+    would fall to the O(T^2) XLA fallback, which cannot fit a v5e.
+
+    Two parts: (1) the production bucket is tileable at every level of the
+    4-deep production UNet; (2) sample_step end-to-end on a deliberately
+    non-64-divisible wav completes on CPU with a (monkeypatched) small bucket
+    and writes the sample image.
+    """
+    from scipy.io import wavfile
+
+    import osufusion_tpu.serve.generate as G
+    from osufusion_tpu.audio.constants import HOP_LENGTH, SR
+    from osufusion_tpu.ops.pallas_attention import flash_attention_available
+    from osufusion_tpu.utils.logging import MetricLogger
+    from trainer import sample_step
+
+    # (1) production bucket tiles at every UNet level (depths 0..3, heads 16)
+    for level in range(4):
+        t = G.LENGTH_BUCKET // (2**level)
+        assert flash_attention_available(t, t, 64, 16, 1), f"bucket untileable at level {level}"
+
+    # (2) end-to-end through a real (non-divisible) wav on the tiny model
+    n_seconds = 1.7
+    tone = np.sin(2 * np.pi * 440 * np.arange(int(SR * n_seconds)) / SR).astype(np.float32)
+    wav = tmp_path / "song.wav"
+    wavfile.write(wav, SR, (tone * 32767).astype(np.int16))
+    n_frames = int(SR * n_seconds) // HOP_LENGTH + 1
+    assert n_frames % 64 != 0, "pick a length that is NOT 64-divisible"
+
+    monkeypatch.setattr(G, "LENGTH_BUCKET", 128)
+
+    from osufusion_tpu.config import DiffusionConfig
+    from osufusion_tpu.train.loop import init_state
+
+    cfg = tiny_config()
+    cfg = Config(
+        model=cfg.model,
+        diffusion=DiffusionConfig(sampling_timesteps=2, cfg_scale=2.0),
+        train=cfg.train,
+    )
+    model = build_model(cfg.model, cfg.diffusion)
+    state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+    logger = MetricLogger(tmp_path)
+    sample_step(model, state, wav, tmp_path, logger, step=7, cfg=cfg)
+    logger.close()
+    assert (tmp_path / "sample_7.png").exists()
+
+
+def test_fp8_conv_dot_matches_exact():
+    """fp8_conv1d_dot (MS-AMP O1 quantizes conv GEMMs too): forward within
+    fp8-level error of the exact shifted-matmul conv; backward is the exact
+    straight-through gradient."""
+    from osufusion_tpu.nn.conv import conv1d_matmul
+    from osufusion_tpu.ops.quant import fp8_conv1d_dot
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(0, 0.05, (3, 64, 48)), jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+
+    exact = conv1d_matmul(x, w, 1, 1)
+    quant = fp8_conv1d_dot(xp, w, 32, 1, jnp.float32)
+    err = float(jnp.max(jnp.abs(quant - exact)) / jnp.max(jnp.abs(exact)))
+    assert err < 0.1, f"fp8 conv error too large: {err}"
+
+    g_exact = jax.grad(lambda x, w: (conv1d_matmul(x, w, 1, 1) * 0.01).sum(), (0, 1))(x, w)
+    g_quant = jax.grad(
+        lambda xp, w: (fp8_conv1d_dot(xp, w, 32, 1, jnp.float32) * 0.01).sum(), (0, 1)
+    )(xp, w)
+    np.testing.assert_allclose(np.asarray(g_quant[0][:, 1:-1]), np.asarray(g_exact[0]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_quant[1]), np.asarray(g_exact[1]), atol=1e-6)
+
+
+def test_fp8_mode_quantizes_conv_dots():
+    """Trace-level: a MatmulConv built with quant="fp8" emits e4m3 converts in
+    its jaxpr (the conv FLOP majority actually runs quantized), and the fp8
+    model's forward differs from the exact model's (the mode is live) while
+    staying within fp8-scale error."""
+    from osufusion_tpu.nn.conv import MatmulConv
+
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 32, 64)), jnp.float32)
+    mc_fp8 = MatmulConv(features=48, kernel_size=(3,), padding=1, quant="fp8")
+    params = mc_fp8.init(jax.random.PRNGKey(0), x)
+    jaxpr = str(jax.make_jaxpr(lambda p, x: mc_fp8.apply(p, x))(params, x))
+    assert "f8_e4m3" in jaxpr or "float8_e4m3" in jaxpr, "no e4m3 ops in fp8 MatmulConv trace"
+
+    mc = MatmulConv(features=48, kernel_size=(3,), padding=1)
+    y_exact = mc.apply(params, x)
+    y_fp8 = mc_fp8.apply(params, x)
+    assert not np.array_equal(np.asarray(y_exact), np.asarray(y_fp8))
+    err = float(jnp.max(jnp.abs(y_fp8 - y_exact)) / jnp.max(jnp.abs(y_exact)))
+    assert err < 0.1

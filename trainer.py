@@ -45,24 +45,40 @@ def save_model_safetensors(params, path: Path) -> None:
     save_file(tensors, str(path))
 
 
-def sample_step(model, state, audio_path: Path, project_dir: Path, logger, step: int, model_cfg) -> None:
+def sample_step(model, state, audio_path: Path, project_dir: Path, logger, step: int, cfg: Config) -> None:
     """Fixed-seed periodic sample rendered to a channel plot
-    (reference trainer.py:98-140)."""
+    (reference trainer.py:98-140).
+
+    The audio is padded to a LENGTH_BUCKET multiple exactly as the serving
+    path does (serve/generate.py): real song lengths are rarely 64-divisible,
+    and an unpadded length would fall off the flash-attention tiling onto the
+    O(T^2) XLA fallback — unrunnable at full-song scale.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     from matplotlib import pyplot as plt
 
     from osufusion_tpu.audio import load_audio, normalize_context
+    from osufusion_tpu.serve.generate import LENGTH_BUCKET
 
-    a = load_audio(audio_path)
-    c = normalize_context(np.array([4.0, 9.5, 9.5, 4.0, 6.0], dtype=np.float32))
-    a = a[None]
-    c = c[None]
-    n = a.shape[-1]
+    spec = load_audio(audio_path)  # (96, T)
+    n = spec.shape[-1]
+    padded = ((n + LENGTH_BUCKET - 1) // LENGTH_BUCKET) * LENGTH_BUCKET
+    a = np.pad(spec, ((0, 0), (0, padded - n)), constant_values=-23.0)[None]
+    c = normalize_context(np.array([4.0, 9.5, 9.5, 4.0, 6.0], dtype=np.float32))[None]
 
-    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, model_cfg.dim_in_x, n))
-    generated = np.asarray(model.sample(state.params, a, c, x=x0, cond_scale=1.0))
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.model.dim_in_x, padded))
+    generated = np.asarray(
+        model.sample(
+            state.params,
+            a,
+            c,
+            x=x0,
+            cond_scale=cfg.diffusion.cfg_scale,
+            sampling_timesteps=cfg.diffusion.sampling_timesteps,
+        )
+    )[..., :n]
 
     h = generated.shape[1]
     fig, axs = plt.subplots(h, 1, figsize=(max(6, generated.shape[-1] // 150), h * 2), sharex=True)
@@ -171,7 +187,7 @@ def train(cfg: Config) -> None:
             and Path(cfg.train.sample_audio).exists()
         ):
             print("Sampling...")
-            sample_step(model, state, Path(cfg.train.sample_audio), project_dir, logger, current_step, cfg.model)
+            sample_step(model, state, Path(cfg.train.sample_audio), project_dir, logger, current_step, cfg)
 
     mngr.wait_until_finished()
     save_model_safetensors(state.params, project_dir / "model.safetensors")

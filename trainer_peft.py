@@ -62,7 +62,13 @@ def shard_peft(base_params, adapters, opt_state, mesh: Mesh):
     return base_params, adapters, opt_state
 
 
-def make_peft_step(model, lora_cfg: LoraConfig, tx, mesh: Mesh):
+def make_peft_step(model, lora_cfg: LoraConfig, tx, mesh: Mesh, accum: int = 1):
+    """Jitted sharded adapter step. With ``accum > 1`` the batch arrives
+    stacked (accum, B, ...) and micro-batches scan INSIDE the step, exactly
+    like the pretrainer's path (train/loop.py) — one adapter all-reduce per
+    optimizer step instead of per micro-batch (reference trainer_peft.py:390
+    delegates this to Accelerate)."""
+
     def loss_fn(adapters, base_params, rng, batch):
         x, a, c, orig_len = batch
         eff = apply_lora(base_params, adapters, lora_cfg)
@@ -70,13 +76,28 @@ def make_peft_step(model, lora_cfg: LoraConfig, tx, mesh: Mesh):
 
     def step(adapters, opt_state, base_params, rng, batch):
         rng, rng_step = jax.random.split(rng)
-        loss, grads = jax.value_and_grad(loss_fn)(adapters, base_params, rng_step, batch)
+        if accum <= 1:
+            loss, grads = jax.value_and_grad(loss_fn)(adapters, base_params, rng_step, batch)
+        else:
+            rngs = jax.random.split(rng_step, accum)
+
+            def micro(carry, inp):
+                grads_acc, loss_acc = carry
+                r, mb = inp
+                loss_i, grads_i = jax.value_and_grad(loss_fn)(adapters, base_params, r, mb)
+                return (jax.tree.map(jnp.add, grads_acc, grads_i), loss_acc + loss_i), None
+
+            zero = jax.tree.map(jnp.zeros_like, adapters)
+            (grads, loss), _ = jax.lax.scan(micro, (zero, 0.0), (rngs, batch))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = loss / accum
         grad_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, adapters)
         adapters = optax.apply_updates(adapters, updates)
         return adapters, opt_state, rng, loss, grad_norm
 
-    batch_sh = NamedSharding(mesh, P("data"))
+    spec = P("data") if accum <= 1 else P(None, "data")
+    batch_sh = NamedSharding(mesh, spec)
     return jax.jit(
         step,
         donate_argnums=(0, 1),
@@ -84,15 +105,45 @@ def make_peft_step(model, lora_cfg: LoraConfig, tx, mesh: Mesh):
     )
 
 
+def _opt_structure_sig(opt_state) -> str:
+    """A signature of the optimizer pytree: structure + per-leaf shape/dtype.
+    Saved beside the leaves so a resume with a DIFFERENT optax chain (e.g.
+    clip added/removed, schedule changed) fails loudly instead of silently
+    unflattening moments into the wrong slots."""
+    leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+    shapes = ";".join(f"{tuple(l.shape)}:{jnp.asarray(l).dtype}" for l in leaves)
+    return f"{treedef}|{shapes}"
+
+
 def save_adapter_checkpoint(adapters, opt_state, step: int, project_dir: Path, lora_cfg: LoraConfig) -> None:
     ckpt_dir = project_dir / "loras" / f"checkpoint-{step}"
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     save_safetensors(adapters, ckpt_dir / "adapter_model.safetensors")
     flat_opt = jax.tree.map(np.asarray, jax.tree.leaves(opt_state))
-    np.savez(ckpt_dir / "optimizer.npz", *flat_opt, step=step)
+    np.savez(
+        ckpt_dir / "optimizer.npz",
+        *flat_opt,
+        step=step,
+        structure=np.frombuffer(_opt_structure_sig(opt_state).encode(), dtype=np.uint8),
+    )
     (ckpt_dir / "adapter_config.json").write_text(
         f'{{"r": {lora_cfg.r}, "alpha": {lora_cfg.alpha}, "use_dora": {str(lora_cfg.use_dora).lower()}}}'
     )
+
+
+def prune_adapter_checkpoints(project_dir: Path, max_num: int) -> None:
+    """Keep the newest ``max_num`` adapter checkpoints (reference
+    trainer_peft.py:160-165)."""
+    if max_num <= 0:
+        return
+    import shutil
+
+    ckpts = sorted(
+        (project_dir / "loras").glob("checkpoint-*"),
+        key=lambda p: int(p.name.split("-")[1]),
+    )
+    for stale in ckpts[:-max_num]:
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def latest_adapter_checkpoint(project_dir: Path) -> Path | None:
@@ -104,9 +155,26 @@ def latest_adapter_checkpoint(project_dir: Path) -> Path | None:
 
 
 def load_adapter_checkpoint(ckpt_dir: Path, adapters, opt_state):
-    loaded = load_safetensors(ckpt_dir / "adapter_model.safetensors")
-    adapters = jax.tree.map(lambda ref, new: jnp.asarray(new, ref.dtype), adapters, loaded)
+    # adapters are a FLAT dict keyed by slash-containing param paths, so the
+    # safetensors round trip goes through fully-flattened "path/leaf" keys
+    # (load_safetensors re-nests on "/" — tree-mapping its output against the
+    # flat-keyed adapters dict would mismatch)
+    from osufusion_tpu.utils.serialization import flatten_params
+
+    flat = flatten_params(load_safetensors(ckpt_dir / "adapter_model.safetensors"))
+    adapters = {
+        path: {leaf: jnp.asarray(flat[f"{path}/{leaf}"], ref.dtype) for leaf, ref in entry.items()}
+        for path, entry in adapters.items()
+    }
     npz = np.load(ckpt_dir / "optimizer.npz")
+    if "structure" in npz:
+        saved_sig = npz["structure"].tobytes().decode()
+        want_sig = _opt_structure_sig(opt_state)
+        if saved_sig != want_sig:
+            raise ValueError(
+                f"optimizer state in {ckpt_dir} was saved with a different optax chain; "
+                f"refusing to unflatten by leaf order.\nsaved: {saved_sig}\nwant:  {want_sig}"
+            )
     leaves = [npz[f"arr_{i}"] for i in range(len(jax.tree.leaves(opt_state)))]
     opt_state = jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(opt_state), leaves)
     return adapters, opt_state, int(npz["step"])
@@ -149,9 +217,12 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
         if ckpt is not None:
             adapters, opt_state, current_step = load_adapter_checkpoint(ckpt, adapters, opt_state)
             print(f"resumed adapters from {ckpt} at step {current_step}")
+            if cfg.train.reset_steps:
+                current_step = 0
 
     base_params, adapters, opt_state = shard_peft(base_params, adapters, opt_state, mesh)
-    step_fn = make_peft_step(model, lora_cfg, tx, mesh)
+    accum = cfg.train.gradient_accumulation_steps
+    step_fn = make_peft_step(model, lora_cfg, tx, mesh, accum=accum)
 
     print("Loading dataset...")
     paths = sorted(Path(cfg.train.dataset_dir).rglob("*.map.npz")) if cfg.train.dataset_mode != "dummy" else []
@@ -168,7 +239,11 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
     bucket = min(D.BUCKET, max(64, cfg.train.segment_length))
     data_state = load_data_state(project_dir, current_step) if resume else None
     batches = D.DataPipeline(
-        dataset, cfg.train.batch_size, bucket=bucket, num_workers=cfg.train.num_workers, start=data_state
+        dataset,
+        cfg.train.batch_size * max(1, accum),
+        bucket=bucket,
+        num_workers=cfg.train.num_workers,
+        start=data_state,
     )
 
     logger = MetricLogger(project_dir)
@@ -179,6 +254,15 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
     t_last = time.time()
     while current_step < cfg.train.total_steps:
         batch = next(batches)
+        if accum > 1:
+            x, a, c, ol = batch
+            B = cfg.train.batch_size
+            batch = (
+                x.reshape(accum, B, *x.shape[1:]),
+                a.reshape(accum, B, *a.shape[1:]),
+                c.reshape(accum, B, *c.shape[1:]),
+                ol.reshape(accum, B),
+            )
         adapters, opt_state, rng, loss, grad_norm = step_fn(adapters, opt_state, base_params, rng, batch)
         current_step += 1
 
@@ -197,9 +281,35 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
 
         if current_step % cfg.train.save_every == 0:
             save_adapter_checkpoint(adapters, opt_state, current_step, project_dir, lora_cfg)
+            prune_adapter_checkpoints(project_dir, cfg.train.max_num_checkpoints)
             save_data_state(project_dir, current_step, batches)
 
+        if (
+            current_step % cfg.train.sample_every == 0
+            and cfg.train.sample_audio is not None
+            and Path(cfg.train.sample_audio).exists()
+        ):
+            # periodic fixed-seed sampling through the MERGED weights
+            # (reference trainer_peft.py:167-207): same bucket-padded path as
+            # the pretrainer's hook
+            print("Sampling...")
+            from types import SimpleNamespace
+
+            from trainer import sample_step
+
+            eff = apply_lora(base_params, adapters, lora_cfg)
+            sample_step(
+                model,
+                SimpleNamespace(params=eff),
+                Path(cfg.train.sample_audio),
+                project_dir,
+                logger,
+                current_step,
+                cfg,
+            )
+
     save_adapter_checkpoint(adapters, opt_state, current_step, project_dir, lora_cfg)
+    prune_adapter_checkpoints(project_dir, cfg.train.max_num_checkpoints)
     print("Merging adapters...")
     merged = merge_lora(base_params, adapters, lora_cfg)
     save_safetensors(merged, project_dir / "merged_model.safetensors")
@@ -222,14 +332,22 @@ def parse_args():
     p.add_argument("--segment-length", type=int, default=4096)
     p.add_argument("--no-segment-sr", action="store_true")
     p.add_argument("--sample-density", type=float, default=1.0)
-    p.add_argument("--mixed-precision", type=str, default="bf16", choices=["no", "fp16", "bf16"])
+    p.add_argument(
+        "--mixed-precision", type=str, default="bf16", choices=["no", "fp16", "bf16", "fp8"]
+    )
     p.add_argument("--full-bf16", action="store_true")
+    p.add_argument("--gradient-checkpointing", action="store_true")
+    p.add_argument("--gradient-accumulation-steps", type=int, default=1)
     p.add_argument("--clip-grad-norm", type=float, default=0.0)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--total-steps", type=int, default=100000)
     p.add_argument("--save-every", type=int, default=1000)
+    p.add_argument("--max-num-checkpoints", type=int, default=5)
     p.add_argument("--warmup-steps", type=int, default=1000)
+    p.add_argument("--sample-every", type=int, default=1000)
+    p.add_argument("--sample-audio", type=str, default=None)
+    p.add_argument("--reset-steps", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=2)
     p.add_argument("--mesh-data", type=int, default=-1)
@@ -250,9 +368,18 @@ def parse_args():
     else:
         mode = "subsequence"
 
-    dtype = {"no": "float32", "fp16": "float16", "bf16": "bfloat16"}[args.mixed_precision]
+    # fp8 = bf16 activations + dynamically-scaled e4m3 dots (ops/quant.py),
+    # same mapping as the pretrainer's --mixed-precision fp8
+    dtype = {"no": "float32", "fp16": "float16", "bf16": "bfloat16", "fp8": "bfloat16"}[
+        args.mixed_precision
+    ]
     cfg = Config(
-        model=ModelConfig(dim_h=args.model_dim, dtype=dtype),
+        model=ModelConfig(
+            dim_h=args.model_dim,
+            dtype=dtype,
+            quant="fp8" if args.mixed_precision == "fp8" else "none",
+            remat=args.gradient_checkpointing,
+        ),
         diffusion=DiffusionConfig(objective=args.model_type),
         train=TrainConfig(
             project_dir=args.project_dir,
@@ -264,12 +391,18 @@ def parse_args():
             sample_density=args.sample_density,
             mixed_precision=args.mixed_precision,
             full_bf16=args.full_bf16,
+            gradient_checkpointing=args.gradient_checkpointing,
+            gradient_accumulation_steps=args.gradient_accumulation_steps,
             clip_grad_norm=args.clip_grad_norm,
             lr=args.lr,
             batch_size=args.batch_size,
             total_steps=args.total_steps,
             save_every=args.save_every,
+            max_num_checkpoints=args.max_num_checkpoints,
             warmup_steps=args.warmup_steps,
+            sample_every=args.sample_every,
+            sample_audio=args.sample_audio,
+            reset_steps=args.reset_steps,
             seed=args.seed,
             num_workers=args.num_workers,
             mesh_data=args.mesh_data,
