@@ -146,15 +146,19 @@ def bench_train() -> dict:
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / steps
 
-    from osufusion_tpu.utils.flops import train_step_flops
+    from osufusion_tpu.utils.flops import train_step_flops, unet_fwd_flops
 
-    flops = train_step_flops(
+    # Strict MFU: model FLOPs only (fwd + bwd = 3x fwd). Remat recompute is
+    # overhead the config chose, NOT useful work — it goes in HFU, never MFU.
+    model_flops = 3.0 * unet_fwd_flops(cfg.model, batch, seq)
+    executed_flops = train_step_flops(
         cfg.model, batch, seq, remat=cfg.model.remat, remat_mode=cfg.model.remat_mode
     )
     peak = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12}.get(
         next((k for k in ("v5 lite", "v5e", "v5p", "v4") if k in jax.devices()[0].device_kind.lower()), ""), 197e12
     )
-    mfu = flops / dt / peak * 100.0
+    mfu = model_flops / dt / peak * 100.0
+    hfu = executed_flops / dt / peak * 100.0
     return {
         "metric": "train_step_mfu_bf16",
         "value": round(mfu, 2),
@@ -163,7 +167,9 @@ def bench_train() -> dict:
         "detail": {
             "s_per_step": round(dt, 4),
             "steps_per_sec": round(1.0 / dt, 3),
-            "analytic_flops_per_step": flops,
+            "hfu": round(hfu, 2),
+            "model_flops_per_step": model_flops,
+            "executed_flops_per_step": executed_flops,
             "dim_h": dim_h,
             "batch": batch,
             "seq": seq,

@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from osufusion_tpu.nn.conv import MatmulConv
 from osufusion_tpu.ops.attention import sdpa
-from osufusion_tpu.ops.quant import quantized_dot_general
+from osufusion_tpu.ops.quant import quant_dot
 from osufusion_tpu.ops.rope import rope_tables
 from osufusion_tpu.utils.profiling import named_scope
 
@@ -77,6 +77,7 @@ class CrossEmbedLayer(nn.Module):
     kernel_sizes: Sequence[int] = (3, 7, 15)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -102,6 +103,7 @@ class CrossEmbedLayer(nn.Module):
                     padding=kernel // 2,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
+                    quant=self.quant,
                     name=f"Conv_{idx}",  # keep flax auto-names of the nn.Conv era
                 )(x)
             )
@@ -114,6 +116,7 @@ class Downsample(nn.Module):
     dim_out: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -125,6 +128,7 @@ class Downsample(nn.Module):
             padding="VALID",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            quant=self.quant,
             name="Conv_0",
         )(x)
 
@@ -135,13 +139,15 @@ class Upsample(nn.Module):
     dim_out: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, c = x.shape
         x = jnp.repeat(x, 2, axis=1)
         return MatmulConv(
-            self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_0"
+            self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype,
+            quant=self.quant, name="Conv_0"
         )(x)
 
 
@@ -151,11 +157,12 @@ class ParallelConvOut(nn.Module):
     dim_out: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        a = MatmulConv(self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_0")(x)
-        b = MatmulConv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_1")(x)
+        a = MatmulConv(self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, quant=self.quant, name="Conv_0")(x)
+        b = MatmulConv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype, quant=self.quant, name="Conv_1")(x)
         return a + b
 
 
@@ -207,11 +214,13 @@ class FiLMBlock(nn.Module):
     dim_out: int
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None) -> jnp.ndarray:
         x = MatmulConv(
-            self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_0"
+            self.dim_out, kernel_size=(3,), padding=1, dtype=self.dtype, param_dtype=self.param_dtype,
+            quant=self.quant, name="Conv_0"
         )(x)
         x = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)(x)
         if scale_shift is not None:
@@ -232,6 +241,7 @@ class ResidualBlock(nn.Module):
     use_gca: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(
@@ -248,14 +258,14 @@ class ResidualBlock(nn.Module):
             scale, shift = jnp.split(emb, 2, axis=-1)
             scale_shift = (scale, shift)
 
-        h = FiLMBlock(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype)(x, scale_shift)
-        h = FiLMBlock(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype)(h)
+        h = FiLMBlock(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype, quant=self.quant)(x, scale_shift)
+        h = FiLMBlock(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype, quant=self.quant)(h)
 
         gate_cls = GlobalContext if self.use_gca else SqueezeExcite
         h = h * gate_cls(self.dim_out, dtype=self.dtype, param_dtype=self.param_dtype)(h)
 
         if x.shape[-1] != self.dim_out:
-            x = MatmulConv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype, name="Conv_0")(x)
+            x = MatmulConv(self.dim_out, kernel_size=(1,), dtype=self.dtype, param_dtype=self.param_dtype, quant=self.quant, name="Conv_0")(x)
         return h + x
 
 
@@ -271,6 +281,7 @@ class Attention(nn.Module):
     local: bool = True
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -281,16 +292,17 @@ class Attention(nn.Module):
         B, T, C = x.shape
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype)(x)
 
+        dot = quant_dot(self.quant)
         q = nn.Dense(
             self.dim_head * self.heads, use_bias=False, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=quantized_dot_general, name="to_q"
+            dot_general=dot, name="to_q"
         )(x)
         kv = nn.Dense(
             self.dim_head * self.kv_heads * 2,
             use_bias=False,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-            dot_general=quantized_dot_general,
+            dot_general=dot,
             name="to_kv",
         )(x)
         k, v = jnp.split(kv, 2, axis=-1)
@@ -316,7 +328,7 @@ class Attention(nn.Module):
         out = sdpa(q, k, v, backend=self.backend, window=window, rope=rope)
         out = out.reshape(B, T, self.heads * self.dim_head)
         out = nn.Dense(
-            C, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=quantized_dot_general, name="to_out"
+            C, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=dot, name="to_out"
         )(out)
         return x + out
 
@@ -328,16 +340,18 @@ class FeedForward(nn.Module):
     mult: int = 2
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dot = quant_dot(self.quant)
         h = nn.Dense(
             self.dim * self.mult, dtype=self.dtype, param_dtype=self.param_dtype,
-            dot_general=quantized_dot_general,
+            dot_general=dot,
         )(x)
         h = nn.silu(h)
         return nn.Dense(
-            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=quantized_dot_general
+            self.dim, dtype=self.dtype, param_dtype=self.param_dtype, dot_general=dot
         )(h)
 
 
@@ -360,6 +374,7 @@ class TransformerBlock(nn.Module):
     remat_ff: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -372,8 +387,9 @@ class TransformerBlock(nn.Module):
             local=self.attn_local,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            quant=self.quant,
             name="attn",
         )(x)
         ff_cls = nn.remat(FeedForward) if self.remat_ff else FeedForward
-        x = ff_cls(self.dim, self.ff_mult, dtype=self.dtype, param_dtype=self.param_dtype, name="ff")(x) + x
+        x = ff_cls(self.dim, self.ff_mult, dtype=self.dtype, param_dtype=self.param_dtype, quant=self.quant, name="ff")(x) + x
         return x

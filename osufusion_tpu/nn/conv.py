@@ -62,6 +62,11 @@ class MatmulConv(nn.Module):
     bias_init: nn.initializers.Initializer = nn.initializers.zeros
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # "fp8": the k shifted matmuls run on dynamically-scaled e4m3 operands
+    # (ops/quant.py fp8_conv1d_dot) — MS-AMP O1 quantizes conv GEMMs too, and
+    # after the conv-as-matmul rewrite these dots carry the bulk of the
+    # model's non-attention FLOPs
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -86,7 +91,14 @@ class MatmulConv(nn.Module):
         x = x.astype(self.dtype)
         kern = kernel.astype(self.dtype)
         if cin >= MIN_MATMUL_CIN:
-            y = conv1d_matmul(x, kern, pad_lo, pad_hi, stride)
+            if self.quant == "fp8":
+                from osufusion_tpu.ops.quant import fp8_conv1d_dot
+
+                xp = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0))) if (pad_lo or pad_hi) else x
+                t_out = (xp.shape[1] - k) // stride + 1
+                y = fp8_conv1d_dot(xp, kern, t_out, stride, self.dtype)
+            else:
+                y = conv1d_matmul(x, kern, pad_lo, pad_hi, stride)
         else:
             y = jax.lax.conv_general_dilated(
                 x,

@@ -77,6 +77,7 @@ class UNetBlock(nn.Module):
     attn_backend: str = "auto"
     attn_local: bool = True
     remat_inner: bool = False
+    quant: str = "none"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -90,9 +91,9 @@ class UNetBlock(nn.Module):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         res_cls = nn.remat(ResidualBlock) if self.remat_inner else ResidualBlock
 
-        x = res_cls(self.dim_in, has_time_cond=self.has_time_cond, **common, name="init_resnet")(x, t, c)
+        x = res_cls(self.dim_in, has_time_cond=self.has_time_cond, quant=self.quant, **common, name="init_resnet")(x, t, c)
         for i in range(self.num_blocks):
-            x = res_cls(self.dim_in, has_time_cond=self.has_time_cond, **common, name=f"resnet_{i}")(x, t, c)
+            x = res_cls(self.dim_in, has_time_cond=self.has_time_cond, quant=self.quant, **common, name=f"resnet_{i}")(x, t, c)
             x = TransformerBlock(
                 self.dim_in,
                 attn_dim_head=self.attn_dim_head,
@@ -102,6 +103,7 @@ class UNetBlock(nn.Module):
                 attn_backend=self.attn_backend,
                 attn_local=self.attn_local,
                 remat_ff=self.remat_inner,
+                quant=self.quant,
                 **common,
                 name=f"transformer_{i}",
             )(x)
@@ -110,7 +112,7 @@ class UNetBlock(nn.Module):
             sampler_cls = Downsample if self.down_block else Upsample
         else:
             sampler_cls = ParallelConvOut
-        sampled = sampler_cls(self.dim_out, **common, name="sampler")(x)
+        sampled = sampler_cls(self.dim_out, quant=self.quant, **common, name="sampler")(x)
         return sampled, x
 
 
@@ -133,7 +135,7 @@ class AudioEncoder(nn.Module):
         cfg = self.cfg
         common = dict(dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
 
-        x = CrossEmbedLayer(cfg.dim_h, cfg.cross_embed_kernel_sizes, **common, name="init_conv")(a)
+        x = CrossEmbedLayer(cfg.dim_h, cfg.cross_embed_kernel_sizes, quant=cfg.quant, **common, name="init_conv")(a)
 
         dims_h = (cfg.dim_h, *[cfg.dim_h * m for m in cfg.dim_h_mult])
         n_layers = len(cfg.dim_h_mult)
@@ -154,6 +156,7 @@ class AudioEncoder(nn.Module):
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
                 remat_inner=remat_inner,
+                quant=cfg.quant,
                 **common,
                 name=f"layer_{i}",
             )(x, None, None)
@@ -172,7 +175,7 @@ class UNet(nn.Module):
         common = dict(dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
         dim_emb = cfg.dim_h * 4
 
-        self.init_x = CrossEmbedLayer(cfg.dim_h, cfg.cross_embed_kernel_sizes, **common, name="init_x")
+        self.init_x = CrossEmbedLayer(cfg.dim_h, cfg.cross_embed_kernel_sizes, quant=cfg.quant, **common, name="init_x")
         self.audio_encoder = AudioEncoder(cfg, name="audio_encoder")
         self.time_mlp = TimeEmbedding(dim_emb, **common, name="time_mlp")
         self.cond_mlp = CondEmbedding(dim_emb, **common, name="cond_mlp")
@@ -198,6 +201,7 @@ class UNet(nn.Module):
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
                 remat_inner=remat_inner,
+                quant=cfg.quant,
                 **common,
                 name=f"down_{i}",
             )
@@ -205,7 +209,7 @@ class UNet(nn.Module):
         ]
 
         bottleneck_ctx = cfg.attn_context_len // (2 ** (n_layers - 1))
-        self.middle_resnet1 = ResidualBlock(dims_h[-1], **common, name="middle_resnet1")
+        self.middle_resnet1 = ResidualBlock(dims_h[-1], quant=cfg.quant, **common, name="middle_resnet1")
         self.middle_transformers = [
             TransformerBlock(
                 dims_h[-1],
@@ -216,12 +220,13 @@ class UNet(nn.Module):
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
                 remat_ff=remat_inner,
+                quant=cfg.quant,
                 **common,
                 name=f"middle_transformer_{i}",
             )
             for i in range(cfg.num_middle_transformers)
         ]
-        self.middle_resnet2 = ResidualBlock(dims_h[-1], **common, name="middle_resnet2")
+        self.middle_resnet2 = ResidualBlock(dims_h[-1], quant=cfg.quant, **common, name="middle_resnet2")
 
         in_out_rev = list(reversed(list(zip(dims_h[:-1], dims_h[1:]))))
         blocks_rev = tuple(reversed(cfg.num_layer_blocks))
@@ -241,13 +246,14 @@ class UNet(nn.Module):
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
                 remat_inner=remat_inner,
+                quant=cfg.quant,
                 **common,
                 name=f"up_{i}",
             )
             for i, (layer_dim_out, layer_dim_in) in enumerate(in_out_rev)
         ]
 
-        self.final_resnet = ResidualBlock(cfg.dim_h, **common, name="final_resnet")
+        self.final_resnet = ResidualBlock(cfg.dim_h, quant=cfg.quant, **common, name="final_resnet")
         self.final_conv = MatmulConv(
             cfg.dim_in_x,
             kernel_size=(1,),
@@ -255,6 +261,7 @@ class UNet(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=cfg.compute_dtype,
             param_dtype=cfg.params_dtype,
+            quant=cfg.quant,
             name="final_conv",
         )
 

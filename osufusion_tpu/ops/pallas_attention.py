@@ -98,12 +98,19 @@ def _choose_blocks(t: int, s: int, group: int) -> tuple[int, int, int]:
     of the fold — with the production 16-head fold even bq=64 leaves a
     1024-row M dimension on the MXU.
     """
-    bk = _pick_block(s, PREFERRED_BLOCK_K)
     bytes_per = 2 if _INFERENCE.get() else 4
-    rows_cap = max(64, LOGITS_VMEM_BYTES // (bytes_per * bk)) if bk else 64
-    rows = min(TARGET_FOLDED_ROWS, rows_cap)
-    bq = _pick_block(t, max(64, rows // group))
-    return bq, bk, group
+    preferred_k = PREFERRED_BLOCK_K
+    while True:
+        bk = _pick_block(s, preferred_k)
+        rows_cap = max(64, LOGITS_VMEM_BYTES // (bytes_per * bk)) if bk else 64
+        rows = min(TARGET_FOLDED_ROWS, rows_cap)
+        bq = _pick_block(t, max(64, rows // group))
+        # the bq floor of 64 can defeat the rows cap for large folds (e.g. a
+        # 32-head MQA fold gives 2048 rows at bq=64): shrink bk instead until
+        # the f32 logits chunk fits the VMEM budget
+        if not (bq and bk) or bq * group * bk * bytes_per <= LOGITS_VMEM_BYTES or preferred_k <= 128:
+            return bq, bk, group
+        preferred_k //= 2
 
 
 def _span_visits(window: Optional[int], block_src: int, block_tgt: int, n_target: int) -> int:
