@@ -1,34 +1,204 @@
 """.osu beatmap (v14 text format) parser and corpus iterators.
 
-Capability parity with reference osu_fusion/library/osu/beatmap.py: section
-parser (:227), timing-point parsing with inherited-SV handling (:63), bitfield
-hit-object dispatch (:111), active-timing-point lookup with +/-1 ms tolerance
-(:98), ground-truth cursor position (:203), and ``all_maps``/``all_mapsets``
-iterators (:262). ``meta_only`` defers hit-object parsing for cheap metadata
-scans.
+Capability parity with reference osu_fusion/library/osu/beatmap.py (section
+parse, timing points with inherited-SV handling, bitfield hit-object dispatch,
+active-timing-point lookup with +/-1 ms tolerance, ground-truth cursor,
+corpus iterators), implemented independently:
+
+- the text format is tokenized into a flat ``(section, payload)`` record
+  stream first; typed readers consume the records they care about;
+- timing points decode in two passes — raw rows, then a stateful fold that
+  tracks the effective (beat length, SV, meter) — instead of interleaving
+  parse and dedup;
+- the cursor model is UNIFIED: every hit object is reduced to a "busy phase"
+  (duration + position function) and an idle anchor, and one glide rule
+  interpolates from the anchor to the next object's head. The three per-type
+  branches of the reference collapse into ``_busy_span``/``_busy_pos``;
+- active-object and active-timing-point lookups run on cached numpy arrays
+  via ``searchsorted``.
 
 Note: the reference's ``parse_events`` compares a string against int 2 and so
-never collects events (beatmap.py:150); we parse background/break events
-correctly instead (documented fix, SURVEY.md section "quirks").
+never collects events (beatmap.py:150); we parse break events correctly
+instead (documented fix, SURVEY.md section "quirks").
 """
 
 from __future__ import annotations
 
-import bisect
-import re
 from pathlib import Path
-from typing import Any, Dict, Generator, List, Tuple
+from typing import Any, Dict, Generator, Iterable, List, Optional, Tuple
 
 import numpy as np
 
-from osufusion_tpu.osu.hit_objects import Circle, HitObject, Slider, Spinner, Timed, TimingPoint
+from osufusion_tpu.osu.hit_objects import Circle, HitObject, Slider, Spinner, TimingPoint
 from osufusion_tpu.osu.sliders import from_control_points
 
 CX, CY = 256, 192
 
-_LIST_SECTIONS = ("Events", "TimingPoints", "HitObjects")
-_SECTION_RE = re.compile(r"^\[(.*)\]$")
-_KV_RE = re.compile(r"^(\w*)\s?:\s?(.*)$")
+# hit-object type bitfield (osu!wiki file format spec)
+BIT_CIRCLE, BIT_SLIDER, BIT_NEW_COMBO, BIT_SPINNER = 1, 2, 4, 8
+
+_LIST_SECTIONS = frozenset({"Events", "TimingPoints", "HitObjects"})
+
+
+# ----------------------------------------------------------------- tokenizer
+
+
+def _records(lines: Iterable[str]) -> Generator[Tuple[str, str], None, None]:
+    """Flatten the INI-ish file into (section, payload) records. Comments are
+    dropped, blank lines close the current section."""
+    section = ""
+    for raw in lines:
+        if raw.startswith("//"):
+            continue
+        line = raw.strip()
+        if not line:
+            section = ""
+            continue
+        if line[0] == "[" and line[-1] == "]":
+            section = line[1:-1]
+            yield section, ""
+            continue
+        if section:
+            yield section, line
+
+
+def _split_sections(lines: Iterable[str]) -> Dict[str, Any]:
+    """Group records per section: list sections keep raw lines, the rest
+    become key->value dicts (``Key : value`` rows; malformed rows dropped)."""
+    out: Dict[str, Any] = {}
+    for section, payload in _records(lines):
+        bucket = out.setdefault(section, [] if section in _LIST_SECTIONS else {})
+        if payload == "":
+            continue
+        if isinstance(bucket, list):
+            bucket.append(payload)
+        else:
+            key, sep, value = payload.partition(":")
+            if sep and key.rstrip().isidentifier():
+                bucket[key.rstrip()] = value.strip()
+    return out
+
+
+# ------------------------------------------------------------- timing points
+
+
+def _fold_timing_rows(lines: List[str]) -> Tuple[List[TimingPoint], List[TimingPoint]]:
+    """Decode TimingPoints rows into (all_points, uninherited_points).
+
+    Effective state (beat length / SV / meter) folds across rows: red
+    (uninherited) rows reset SV to 1.0 and set the beat length; green rows
+    set SV = -100/value clamped to [0.1, 10]. Green rows before any red row
+    are meaningless and skipped; a green row at the time of the previous
+    point REPLACES it (osu! applies the later row); exact consecutive
+    duplicates are compressed.
+    """
+    points: List[TimingPoint] = []
+    bare: List[TimingPoint] = []  # SV/kiai-free stream of the same rows
+    beat_length: Optional[float] = None
+    meter: Optional[float] = None
+
+    for line in lines:
+        cols = [float(c) for c in line.split(",")]
+        t = int(cols[0])
+        kiai = len(cols) >= 8 and int(cols[7]) & 1 == 1
+        is_red = len(cols) < 7 or cols[6] != 0
+
+        if is_red:
+            beat_length, meter = cols[1], cols[2]
+            sv = 1.0
+        else:
+            if beat_length is None:
+                continue  # green point before the first red one: undefined
+            sv = float(np.clip(round(-100.0 / cols[1], 3), 0.1, 10.0))
+            if points and points[-1].t == t:
+                points.pop()  # the later row at the same timestamp wins
+
+        for stream, tp in (
+            (points, TimingPoint(t, beat_length, sv, meter, kiai)),
+            (bare, TimingPoint(t, beat_length, None, meter, None)),
+        ):
+            if not stream or tp != stream[-1]:
+                stream.append(tp)
+
+    if not points:
+        raise ValueError("no timing points found")
+    return points, bare
+
+
+# --------------------------------------------------------------- hit objects
+
+
+def _read_circle(cols: List[str], t: int, combo: bool, _bm: "Beatmap") -> Circle:
+    return Circle(t, combo, int(float(cols[0])), int(float(cols[1])))
+
+
+def _read_spinner(cols: List[str], t: int, combo: bool, _bm: "Beatmap") -> Spinner:
+    return Spinner(t, combo, int(cols[5]))
+
+
+def _read_slider(cols: List[str], t: int, combo: bool, bm: "Beatmap") -> Slider:
+    head = np.array([float(cols[0]), float(cols[1])])
+    curve_spec, slides, length = cols[5], int(cols[6]), float(cols[7])
+    knots = [head] + [
+        np.array([float(v) for v in pt.split(":")]) for pt in curve_spec.split("|")[1:]
+    ]
+    tp = bm.get_active_timing_point(t)
+    return from_control_points(
+        t, tp.beat_length, bm.slider_multiplier * tp.slider_multiplier, combo, slides, length, knots
+    )
+
+
+def _decode_hit_objects(lines: List[str], bm: "Beatmap") -> List[HitObject]:
+    readers = ((BIT_CIRCLE, _read_circle), (BIT_SLIDER, _read_slider), (BIT_SPINNER, _read_spinner))
+    out: List[HitObject] = []
+    for line in lines:
+        cols = line.split(",")
+        t, kind = int(float(cols[2])), int(float(cols[3]))
+        reader = next((fn for bit, fn in readers if kind & bit), None)
+        if reader is None:
+            continue
+        ho = reader(cols, t, bool(kind & BIT_NEW_COMBO), bm)
+        if out and ho.t < out[-1].end_time():
+            raise ValueError(f"hit objects not in chronological order: {ho.t} < {out[-1].end_time()}")
+        out.append(ho)
+    if not out:
+        raise ValueError("no hit objects found")
+    return out
+
+
+# ------------------------------------------------------------ cursor model
+
+
+def _busy_span(ho: HitObject) -> float:
+    """How long the cursor is pinned to the object after its start time."""
+    if isinstance(ho, Slider):
+        return ho.slide_duration * ho.slides
+    if isinstance(ho, Spinner):
+        return ho.u - ho.t
+    return 0.0
+
+
+def _busy_pos(ho: HitObject, rel: float) -> np.ndarray:
+    """Cursor position ``rel`` ms into the busy phase."""
+    if isinstance(ho, Slider):
+        # ping-pong over the path: slide k alternates direction
+        phase = (rel / ho.slide_duration) % 2.0
+        return np.asarray(ho.lerp(phase if phase <= 1.0 else 2.0 - phase), dtype=float)
+    if isinstance(ho, Spinner):
+        return np.array([CX, CY], dtype=float)
+    return np.array([ho.x, ho.y], dtype=float)
+
+
+def _idle_anchor(ho: HitObject) -> np.ndarray:
+    """Where the cursor rests once the object is finished."""
+    if isinstance(ho, Slider):
+        return np.asarray(ho.lerp(ho.slides % 2), dtype=float)
+    if isinstance(ho, Spinner):
+        return np.array([CX, CY], dtype=float)
+    return np.array([ho.x, ho.y], dtype=float)
+
+
+# ------------------------------------------------------------------ Beatmap
 
 
 class Beatmap:
@@ -39,20 +209,22 @@ class Beatmap:
         self.uninherited_timing_points: List[TimingPoint] = []
         self.hit_objects: List[HitObject] = []
         self.events: List[List[str]] = []
+        self._tp_times: Optional[np.ndarray] = None
+        self._ho_starts: Optional[np.ndarray] = None
 
-        with open(self.filename, "r", encoding="utf-8") as f:
-            cfg = self.parse_beatmap(f.readlines())
+        text = self.filename.read_text(encoding="utf-8")
+        cfg = _split_sections(text.splitlines())
+        self._sections = cfg
 
-        self.audio_filename = self.filename.parent / cfg["General"]["AudioFilename"]
-        self.mode = int(cfg["General"].get("Mode", 0))
-
-        self.title = cfg["Metadata"].get("Title", "")
-        self.artist = cfg["Metadata"].get("Artist", "")
-        self.creator = cfg["Metadata"].get("Creator", "")
-        self.version = cfg["Metadata"].get("Version", "")
-
+        general, meta = cfg.get("General", {}), cfg.get("Metadata", {})
+        self.audio_filename = self.filename.parent / general["AudioFilename"]
+        self.mode = int(general.get("Mode", 0))
+        self.title = meta.get("Title", "")
+        self.artist = meta.get("Artist", "")
+        self.creator = meta.get("Creator", "")
+        self.version = meta.get("Version", "")
         try:
-            self.mapset_id = int(cfg["Metadata"]["BeatmapSetID"])
+            self.mapset_id: Optional[int] = int(meta["BeatmapSetID"])
         except (KeyError, ValueError):
             self.mapset_id = None
 
@@ -65,237 +237,104 @@ class Beatmap:
         self.slider_tick_rate = float(diff["SliderTickRate"])
         self.beat_divisor = int(diff.get("BeatDivisor", 4))
 
-        self.unparsed_hit_objects = cfg.get("HitObjects", [])
-        self.unparsed_timing_points = cfg.get("TimingPoints", [])
-        self.unparsed_events = cfg.get("Events", [])
-
         if not meta_only:
             self.parse_map_data()
 
     # ------------------------------------------------------------------ parse
 
     def parse_map_data(self) -> None:
-        self.parse_timing_point(self.unparsed_timing_points)
-        del self.unparsed_timing_points
-        self.parse_hit_object(self.unparsed_hit_objects)
-        del self.unparsed_hit_objects
-        self.parse_events(self.unparsed_events)
-        del self.unparsed_events
-
-    def parse_timing_point(self, lines: List[str]) -> None:
-        cur_beat_length = None
-        cur_meter = None
-
-        for line in lines:
-            vals = [float(x) for x in line.strip().split(",")]
-            t, x, meter = vals[:3]
-            kiai = int(vals[7] if len(vals) >= 8 else 0) % 2 == 1
-
-            if len(vals) >= 7 and vals[6] == 0:
-                # inherited (green) point: x is -100 / SV
-                if len(self.timing_points) == 0:
-                    continue
-                if self.timing_points[-1].t == t:
-                    self.timing_points.pop()
-                slider_multiplier = min(10.0, max(0.1, round(-100 / float(x), 3)))
-            else:
-                # uninherited (red) point: x is the beat length in ms
-                cur_beat_length = x
-                slider_multiplier = 1.0
-                cur_meter = meter
-
-            tp = TimingPoint(int(t), cur_beat_length, slider_multiplier, cur_meter, kiai)
-            if len(self.timing_points) == 0 or tp != self.timing_points[-1]:
-                self.timing_points.append(tp)
-
-            utp = TimingPoint(int(t), cur_beat_length, None, cur_meter, None)
-            if len(self.uninherited_timing_points) == 0 or utp != self.uninherited_timing_points[-1]:
-                self.uninherited_timing_points.append(utp)
-
-        if len(self.timing_points) == 0:
-            raise ValueError("no timing points found")
+        """Decode the deferred list sections (timing, objects, events)."""
+        cfg, self._sections = self._sections, {}
+        self.timing_points, self.uninherited_timing_points = _fold_timing_rows(
+            cfg.get("TimingPoints", [])
+        )
+        self._tp_times = np.array([tp.t for tp in self.timing_points], dtype=float)
+        self.hit_objects = _decode_hit_objects(cfg.get("HitObjects", []), self)
+        self._ho_starts = np.array([ho.t for ho in self.hit_objects], dtype=float)
+        # break periods only; type id 2, or the "Break" alias
+        self.events = [
+            row.split(",") for row in cfg.get("Events", []) if row.split(",", 1)[0] in ("2", "Break")
+        ]
 
     def get_active_timing_point(self, t: float) -> TimingPoint:
-        # timing points can be off by a millisecond or two relative to objects
-        idx = -1
-        for t_offset in (0, -1, 1):
-            bisect_idx = bisect.bisect(self.timing_points, Timed(t + t_offset)) - 1
-            if bisect_idx >= 0:
-                idx = bisect_idx
-                break
+        """Latest timing point at or before ``t``; if none, tolerate a row
+        stamped up to 1 ms late (rows and objects are often off by a ms);
+        clamps to the first point."""
+        if self._tp_times is None or len(self._tp_times) != len(self.timing_points):
+            self._tp_times = np.array([tp.t for tp in self.timing_points], dtype=float)
+        idx = int(np.searchsorted(self._tp_times, t, side="right")) - 1
         if idx < 0:
-            return self.timing_points[0]
-        return self.timing_points[idx]
+            idx = int(np.searchsorted(self._tp_times, t + 1.0, side="right")) - 1
+        return self.timing_points[max(idx, 0)]
 
-    def parse_hit_object(self, lines: List[str]) -> None:
-        for line in lines:
-            vals = line.strip().split(",")
-            x, y, t, k = (int(float(v)) for v in vals[:4])
-            new_combo = (k & (1 << 2)) > 0
-            if k & (1 << 0):
-                ho: HitObject = Circle(t, new_combo, x, y)
-            elif k & (1 << 1):
-                curve, slides, length = vals[5:8]
-                _, *control_point_strs = curve.split("|")
-                control_points = [np.array([x, y], dtype=float)] + [
-                    np.array([int(c) for c in p.split(":")], dtype=float) for p in control_point_strs
-                ]
-                tp = self.get_active_timing_point(t)
-                ho = from_control_points(
-                    t,
-                    tp.beat_length,
-                    self.slider_multiplier * tp.slider_multiplier,
-                    new_combo,
-                    int(slides),
-                    float(length),
-                    control_points,
-                )
-            elif k & (1 << 3):
-                ho = Spinner(t, new_combo, int(vals[5]))
-            else:
-                continue
-
-            if self.hit_objects and ho.t < self.hit_objects[-1].end_time():
-                raise ValueError(
-                    f"hit objects not in chronological order: {ho.t} < {self.hit_objects[-1].end_time()}"
-                )
-            self.hit_objects.append(ho)
-
-        if len(self.hit_objects) == 0:
-            raise ValueError("no hit objects found")
-
-    def parse_events(self, lines: List[str]) -> None:
-        self.events = []
-        for line in lines:
-            vals = line.strip().split(",")
-            # event type 2 (or "Break") = break period
-            if vals[0] in ("2", "Break"):
-                self.events.append(vals)
-
-    # -------------------------------------------------------- cursor (ground truth)
-
-    @staticmethod
-    def _circle_cursor(ho: Circle, nho: HitObject, t: float) -> Tuple[Tuple[float, float], float]:
-        if nho is not None:
-            f = t / (nho.t - ho.t)
-            return ((1 - f) * ho.x + f * nho.x, (1 - f) * ho.y + f * nho.y), t
-        return (ho.x, ho.y), t
-
-    @staticmethod
-    def _spinner_cursor(ho: Spinner, nho: HitObject, t: float) -> Tuple[Tuple[float, float], float]:
-        spin_duration = ho.u - ho.t
-        if t < spin_duration:
-            return (CX, CY), 0
-        t -= spin_duration
-        if nho is not None:
-            f = t / (nho.t - ho.t - spin_duration)
-            return ((1 - f) * CX + f * nho.x, (1 - f) * CY + f * nho.y), t
-        return (CX, CY), t
-
-    @staticmethod
-    def _slider_cursor(ho: Slider, nho: HitObject, t: float) -> Tuple[Tuple[float, float], float]:
-        slide_duration = ho.slide_duration * ho.slides
-        if t < slide_duration:
-            single = ho.slide_duration
-            ts = t % (single * 2)
-            if ts < single:
-                return tuple(ho.lerp(ts / single)), 0
-            return tuple(ho.lerp(2 - ts / single)), 0
-        t -= slide_duration
-        end = ho.lerp(ho.slides % 2)
-        if nho is not None:
-            f = t / (nho.t - ho.t - slide_duration)
-            return ((1 - f) * end[0] + f * nho.x, (1 - f) * end[1] + f * nho.y), t
-        return tuple(end), t
+    # ------------------------------------------------------------------ cursor
 
     def cursor(self, t: float) -> Tuple[Tuple[float, float], float]:
-        """Ground-truth cursor position at absolute time t (ms)."""
-        if t < self.hit_objects[0].t:
-            ho = self.hit_objects[0]
-            if isinstance(ho, Circle):
-                return (ho.x, ho.y), np.inf
-            if isinstance(ho, Spinner):
-                return (CX, CY), np.inf
-            return tuple(ho.start_pos()), np.inf
+        """Ground-truth cursor position at absolute time ``t`` (ms), plus the
+        time the cursor has been idle (inf before the first object).
 
-        for ho, nho in zip(self.hit_objects, self.hit_objects[1:]):
-            if ho.t <= t < nho.t:
-                break
-        else:
-            ho = self.hit_objects[-1]
-            nho = None
+        Every object type runs through the same three-phase rule: busy
+        (pinned by ``_busy_pos``), then a straight glide from the idle anchor
+        to the next object's head, arriving exactly at its start time.
+        """
+        objs = self.hit_objects
+        if t < objs[0].t:
+            return tuple(_busy_pos(objs[0], 0.0)), np.inf
+
+        if self._ho_starts is None or len(self._ho_starts) != len(objs):
+            self._ho_starts = np.array([ho.t for ho in objs], dtype=float)
+        i = int(np.searchsorted(self._ho_starts, t, side="right")) - 1
+        ho = objs[i]
+        nxt = objs[i + 1] if i + 1 < len(objs) else None
 
         rel = t - ho.t
-        if isinstance(ho, Circle):
-            return Beatmap._circle_cursor(ho, nho, rel)
-        if isinstance(ho, Spinner):
-            return Beatmap._spinner_cursor(ho, nho, rel)
-        return Beatmap._slider_cursor(ho, nho, rel)
+        busy = _busy_span(ho)
+        if rel < busy:
+            return tuple(_busy_pos(ho, rel)), 0.0
 
-    # ------------------------------------------------------------ static helpers
+        idle = rel - busy
+        anchor = _idle_anchor(ho)
+        if nxt is None:
+            return tuple(anchor), idle
+        f = idle / (nxt.t - ho.t - busy)
+        head = _busy_pos(nxt, 0.0)  # the next object's entry point, any type
+        return tuple((1.0 - f) * anchor + f * head), idle
+
+    # ------------------------------------------------------------------ corpus
 
     @staticmethod
-    def parse_beatmap(lines: List[str]) -> Dict[str, Any]:
-        cfg: Dict[str, Any] = {}
-        section = None
-        for line in lines:
-            if line.startswith("//"):
-                continue
-            if line.strip() == "":
-                section = None
-                continue
-            m = _SECTION_RE.search(line.strip())
-            if m is not None:
-                section = m.group(1)
-                cfg[section] = [] if section in _LIST_SECTIONS else {}
-                continue
-            if section is None:
-                continue
-            if section in _LIST_SECTIONS:
-                cfg[section].append(line.strip())
-            else:
-                m2 = _KV_RE.search(line)
-                if m2 is not None:
-                    cfg[section][m2.group(1)] = m2.group(2).strip()
-        return cfg
+    def try_parse(filename: Path, meta_only: bool = False) -> Optional["Beatmap"]:
+        """Best-effort parse for corpus sweeps: returns the std-mode beatmap
+        or None (logging the reason) — malformed community maps are data
+        noise, not fatal errors."""
+        try:
+            bm = Beatmap(filename, meta_only=meta_only)
+        except Exception as e:  # noqa: BLE001 — corpus iteration is best-effort
+            print(f"skipping unparseable map {filename}: {e}")
+            return None
+        return bm if bm.mode == 0 else None
 
     @staticmethod
     def all_maps(src_path: str, meta_only: bool = False) -> Generator["Beatmap", None, None]:
-        path = Path(src_path)
-        for filename in path.glob("*/*.osu"):
-            try:
-                beatmap = Beatmap(filename, meta_only=meta_only)
-            except Exception as e:  # noqa: BLE001 — corpus iteration is best-effort
-                print(f"Failed to parse {filename}: {e}")
-                continue
-            if beatmap.mode != 0:
-                continue
-            yield beatmap
+        """Every std-mode map under ``src_path/<mapset>/<map>.osu``."""
+        candidates = Path(src_path).glob("*/*.osu")
+        yield from (
+            bm for bm in (Beatmap.try_parse(f, meta_only) for f in candidates) if bm is not None
+        )
 
     @staticmethod
     def all_mapsets(
         src_path: str, meta_only: bool = False
     ) -> Generator[Tuple[int, Path, List["Beatmap"]], None, None]:
-        mapset_path = Path(src_path)
-        for mapset_dir in mapset_path.iterdir():
-            if not mapset_dir.is_dir():
-                continue
-            maps: List[Beatmap] = []
-            mapset_id = None
-            audio_file = None
-            for map_file in mapset_dir.glob("*.osu"):
-                try:
-                    beatmap = Beatmap(map_file, meta_only=meta_only)
-                except Exception as e:  # noqa: BLE001
-                    print(f"Failed to parse {map_file}: {e}")
-                    continue
-                if beatmap.mode != 0:
-                    continue
-                maps.append(beatmap)
-                if audio_file is None:
-                    audio_file = beatmap.audio_filename
-                if mapset_id is None:
-                    mapset_id = beatmap.mapset_id
-            if audio_file is None or mapset_id is None or len(maps) == 0:
-                continue
-            yield mapset_id, audio_file, maps
+        """Mapset-grouped corpus walk: yields (mapset_id, audio_path, maps)
+        for every directory that produced at least one parseable std map with
+        a known mapset id."""
+        for mapset_dir in (d for d in Path(src_path).iterdir() if d.is_dir()):
+            maps = [
+                bm
+                for f in mapset_dir.glob("*.osu")
+                if (bm := Beatmap.try_parse(f, meta_only)) is not None
+            ]
+            ids = [bm.mapset_id for bm in maps if bm.mapset_id is not None]
+            if maps and ids:
+                yield ids[0], maps[0].audio_filename, maps
