@@ -97,7 +97,12 @@ def bench_train() -> dict:
     from osufusion_tpu.train.loop import init_state, make_train_step, shard_state
 
     # defaults = the production config the MFU target is defined on
-    # (BASELINE.md: dim_h 512, B 4, T 4096, full-bf16 + remat, one v5e)
+    # (BASELINE.md: dim_h 512, B 4, T 4096, full-bf16, one v5e). remat
+    # defaults to "resnet": the resnet recompute is elementwise/conv chains
+    # that stay inside fused XLA kernels, so rematting them REMOVES the
+    # GroupNorm/FiLM/SiLU save/reload HBM round-trips — measured 0.368 s/step
+    # (41.2% strict MFU) vs save-attn 0.395 s and no-remat 0.378 s (which
+    # sits within ~1% of the 15.75 GB HBM limit, OOMing on compiler mood).
     dim_h = int(os.environ.get("BENCH_DIM_H", 512))
     batch = int(os.environ.get("BENCH_BATCH", 4))
     seq = int(os.environ.get("BENCH_SEQ", 4096))
@@ -105,12 +110,14 @@ def bench_train() -> dict:
 
     full_bf16 = os.environ.get("BENCH_FULL_BF16", "1") == "1"
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    remat_mode = os.environ.get("BENCH_REMAT_MODE", "resnet")
     cfg = Config(
         model=ModelConfig(
             dim_h=dim_h,
             dtype="bfloat16",
             param_dtype="bfloat16" if full_bf16 else "float32",
             remat=remat,
+            remat_mode=remat_mode,
         ),
         diffusion=DiffusionConfig(),
         train=TrainConfig(

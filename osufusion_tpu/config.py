@@ -62,6 +62,15 @@ class ModelConfig:
     #                 activations at the production config but removes one
     #                 full flash-fwd pass per site from the backward (~13% of
     #                 the step on a v5e).
+    #   "ff"        — remat only the transformer FeedForwards: ~1T recompute
+    #                 (vs save-attn's ~4.9T at the production config) for a
+    #                 few GB of freed hidden states.
+    #   "resnet"    — remat only the ResidualBlocks. Their recompute is
+    #                 elementwise/conv chains that stay inside fused XLA
+    #                 kernels, so this mode REMOVES the save/reload HBM
+    #                 round-trips of the GroupNorm/FiLM/SiLU soup: smaller
+    #                 AND faster than saving everything (measured fastest
+    #                 train-step mode on v5e at the production config).
     remat_mode: str = "save-attn"
     # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
     attn_backend: str = "auto"

@@ -43,12 +43,16 @@ A_PAD_VALUE = -23.0
 
 
 def _remat_plan(cfg: ModelConfig):
-    """(block_cls, remat_inner) for the configured remat mode."""
+    """(block_cls, remat_inner mode) for the configured remat mode."""
     if not cfg.remat:
-        return UNetBlock, False
+        return UNetBlock, "none"
     if cfg.remat_mode == "block":
-        return nn.remat(UNetBlock), False
-    return UNetBlock, True  # save-attn: remat inside, attention saved
+        return nn.remat(UNetBlock), "none"
+    if cfg.remat_mode == "ff":
+        return UNetBlock, "ff"  # remat FFs only; resnets + attention saved
+    if cfg.remat_mode == "resnet":
+        return UNetBlock, "resnet"  # remat resnets only; FFs + attention saved
+    return UNetBlock, "inner"  # save-attn: remat resnets+FFs, attention saved
 
 
 class UNetBlock(nn.Module):
@@ -56,11 +60,17 @@ class UNetBlock(nn.Module):
 
     Returns (sampled_x, pre_sample_x); the latter is the skip connection.
 
-    ``remat_inner=True`` is the "save-attn" rematerialization mode: the
+    ``remat_inner="inner"`` is the "save-attn" rematerialization mode: the
     ResidualBlocks and transformer FFs are individually wrapped in
     ``jax.checkpoint`` (cheap conv/matmul recompute) while the attention
     modules stay un-rematted, so the backward reuses the flash kernel's saved
-    residuals instead of re-running its forward.
+    residuals instead of re-running its forward. ``"ff"`` remats only the
+    transformer FeedForwards; ``"resnet"`` only the ResidualBlocks. The
+    resnet recompute is elementwise/conv work whose intermediates stay
+    inside fused XLA kernels — rematting them REMOVES the save/reload HBM
+    round-trips of their GroupNorm/FiLM/SiLU chains, so "resnet" is both
+    smaller AND faster than saving everything; FF recompute is real MXU
+    matmul time, so "ff"/"inner" pay wall-clock for their extra savings.
     """
 
     dim_in: int
@@ -76,7 +86,7 @@ class UNetBlock(nn.Module):
     attn_context_len: int
     attn_backend: str = "auto"
     attn_local: bool = True
-    remat_inner: bool = False
+    remat_inner: str = "none"  # "none" | "inner" (resnets+FFs) | "ff" | "resnet"
     quant: str = "none"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -89,7 +99,7 @@ class UNetBlock(nn.Module):
         c: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        res_cls = nn.remat(ResidualBlock) if self.remat_inner else ResidualBlock
+        res_cls = nn.remat(ResidualBlock) if self.remat_inner in ("inner", "resnet") else ResidualBlock
 
         x = res_cls(self.dim_in, has_time_cond=self.has_time_cond, quant=self.quant, **common, name="init_resnet")(x, t, c)
         for i in range(self.num_blocks):
@@ -102,7 +112,7 @@ class UNetBlock(nn.Module):
                 attn_context_len=self.attn_context_len,
                 attn_backend=self.attn_backend,
                 attn_local=self.attn_local,
-                remat_ff=self.remat_inner,
+                remat_ff=self.remat_inner in ("inner", "ff"),
                 quant=self.quant,
                 **common,
                 name=f"transformer_{i}",
@@ -219,7 +229,7 @@ class UNet(nn.Module):
                 attn_context_len=bottleneck_ctx,
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
-                remat_ff=remat_inner,
+                remat_ff=remat_inner in ("inner", "ff"),
                 quant=cfg.quant,
                 **common,
                 name=f"middle_transformer_{i}",

@@ -21,8 +21,11 @@ osu_fusion/modules/attention.py:61-101) with a TPU-native tiled kernel:
   with a singleton Kv axis lands in (8, 128) HBM tiles at 16x padding and
   was measured 3x slower end to end; the softmax-stat residual crosses the
   fwd->bwd boundary squeezed to dense (B, rows) for the same reason;
-- base-2 softmax: scale*log2(e) is folded into q before the kernel, logits
-  live in the exp2 domain and the VPU runs exp2 directly;
+- base-2 softmax END TO END: scale*log2(e) is folded into q before the
+  kernel, logits live in the exp2 domain and the VPU runs exp2 directly —
+  in the BACKWARD kernels too (base-2 LSE residual; the ds chain-rule ln2
+  rides the dq kernel's lse shift and the dkv kernel's finalize, so no
+  whole-chunk or whole-tensor scale passes anywhere);
 - optional LOCAL (sliding-window) attention: each query attends keys within
   +/- window/2 and the kernel only VISITS the KV blocks intersecting the
   window, with EXACT per-offset block spans — full-song (65k-frame) UNet
@@ -266,8 +269,9 @@ def _fwd_kernel(
         l = l_ref[:]
         o = (acc_ref[:] / l).astype(o_ref.dtype)
         o_ref[0] = o.reshape(o_ref.shape[1:])
-        # natural-log LSE for the backward: logits were base-2
-        lse_ref[0] = (m_ref[:] + jnp.log2(l)) * LN2  # (rows, 1)
+        # BASE-2 LSE for the backward: logits were base-2 and the backward
+        # kernels stay in the exp2 domain end to end
+        lse_ref[0] = m_ref[:] + jnp.log2(l)  # (rows, 1)
 
 
 def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None):
@@ -365,16 +369,19 @@ def _dq_kernel(
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0].reshape(rows, D)
-        lse = lse_ref[0]  # (rows, 1), natural log
+        # base-2 LSE shifted by -log2(ln2) on its (rows, 1) block:
+        # exp2(s - lse) = ln2 * p, which IS the ds chain-rule constant
+        # (s_e = ln2 * s_2) — so the whole dq path runs without a single
+        # full-chunk scale pass
+        lse = lse_ref[0] - math.log2(LN2)
         delta = delta_ref[0]
 
-        # q carries scale*log2e; recover base-e logits via *ln2
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * LN2
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = _masked(s, i * bq, virtual * bk, window, fold)
-        p = jnp.exp(s - lse)
+        p_ln2 = jnp.exp2(s - lse)  # = ln2 * softmax probability
 
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)  # d(loss)/d(s_base_e); q prescale folds the scale
+        ds = p_ln2 * (dp - delta)  # d(loss)/d(q'.k); q prescale folds the scale
 
         dq_acc[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -382,8 +389,8 @@ def _dq_kernel(
 
     @pl.when(j == n_visit - 1)
     def _finalize():
-        # emitted in the PRE-SCALED q's frame; the caller multiplies the
-        # constant back out (dq/dq_scaled = scale*log2e)
+        # already in the PRE-SCALED q's frame incl. the ln2 chain-rule
+        # factor (folded into the lse shift above): emitted final
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype).reshape(dq_ref.shape[1:])
 
 
@@ -411,12 +418,12 @@ def _dkv_kernel(
         k = k_ref[0]  # (bk, D)
         v = v_ref[0]
         do = do_ref[0].reshape(rows, D)
-        lse = lse_ref[0]  # (rows, 1)
+        lse = lse_ref[0]  # (rows, 1), base-2
         delta = delta_ref[0]
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * LN2
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = _masked(s, virtual * bq, jk * bk, window, fold)
-        p = jnp.exp(s - lse)
+        p = jnp.exp2(s - lse)  # exact probability: dv needs p unscaled
 
         # dv/dk accumulate over BOTH the q rows and the folded heads
         dv_acc[:] += jax.lax.dot_general(
@@ -424,19 +431,134 @@ def _dkv_kernel(
         )
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta)
-        # k's gradient sees the prescaled q; the ln2 of d(s)/d(q.k) is folded
-        # with the caller-side constant (see _flash_bwd)
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
     @pl.when(ii == n_visit - 1)
     def _finalize():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        # ln2 chain-rule factor (s_e = ln2 * q'.k) applied once per kv block
+        # in VMEM, fused with the cast — no whole-tensor HBM scale pass
+        dk_ref[0] = (dk_acc[:] * LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dqp_ref,
+    dk_acc, dv_acc, *, bq, bk, nq, fold,
+):
+    """Fused backward for GLOBAL attention: one (kv-block, q-block) sweep
+    computes dk, dv AND a per-kv-block dq partial. The split dq/dkv kernels
+    each recompute the logits chunk and dp — 7 matmuls per block pair; this
+    kernel shares them, doing the minimal 5 (s, dp, dv, dk, dq), a ~29% cut
+    of the backward's MXU work. dq cannot be accumulated across the kv grid
+    dimension race-free in VMEM, so each kv block emits its (B, T, H, D)
+    partial into a (nk, ...) stack summed by one fused XLA pass outside —
+    ~1 GB of extra HBM traffic (≈1 ms) for ~2 matmuls per pair (tens of ms).
+
+    Everything stays in the exp2 domain: the LSE arrives base-2 and is
+    shifted by -log2(ln2) once per (rows, 1) block, making exp2(s - lse')
+    equal ln2·p — exactly the ds chain-rule constant (s_e = ln2·s_2). dk and
+    dq then need no scale pass at all; dv divides the ln2 back out on its
+    (bk, D) accumulator at finalize."""
+    ii = pl.program_id(2)  # q block (inner sweep)
+    n_visit = pl.num_programs(2)
+
+    @pl.when(ii == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    rows = fold * bq
+    D = q_ref.shape[-1]
+    q = q_ref[0].reshape(rows, D)
+    k = k_ref[0]  # (bk, D)
+    v = v_ref[0]
+    do = do_ref[0].reshape(rows, D)
+    lse = lse_ref[0] - math.log2(LN2)  # (rows, 1): exp2(s - lse') = ln2 * p
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p_ln2 = jnp.exp2(s - lse)  # = ln2 * softmax probability
+
+    dv_acc[:] += jax.lax.dot_general(
+        p_ln2.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p_ln2 * (dp - delta)  # ln2-scaled ds: dk and dq use it unscaled
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dqp_ref[0, 0] = (
+        jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        .astype(dqp_ref.dtype)
+        .reshape(dqp_ref.shape[2:])
+    )
+
+    @pl.when(ii == n_visit - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = (dv_acc[:] * (1.0 / LN2)).astype(dv_ref.dtype)
+
+
+def _flash_bwd_fused(fold, bq, bk, res, g):
+    """Global-attention backward via the fused kernel; see _bwd_fused_kernel."""
+    q, k, v, o, lse = res
+    lse = lse[..., None]
+    do, _ = g
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    bk = min(bk, 512)
+    rows = fold * bq
+    nq = T // bq
+    nk = S // bk
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1).reshape(
+        _stats_shape(B, nq, rows)
+    )
+
+    stats_spec = pl.BlockSpec((1, rows, 1), lambda b, jk, ii: (b, ii, 0))
+    dk, dv, dq_parts = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, bq=bq, bk=bk, nq=nq, fold=fold),
+        grid=(B, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, H, D), lambda b, jk, ii: (b, ii, 0, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+            pl.BlockSpec((1, bq, H, D), lambda b, jk, ii: (b, ii, 0, 0)),
+            stats_spec,
+            stats_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+            pl.BlockSpec((1, 1, bq, H, D), lambda b, jk, ii: (jk, b, ii, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, D), k.dtype),
+            jax.ShapeDtypeStruct((B, S, D), v.dtype),
+            # bf16 partials halve the stack's HBM traffic; the f32 upcast-sum
+            # outside matches the split path's one-cast error envelope
+            jax.ShapeDtypeStruct((nk, B, T, H, D), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+    )(q, k, v, do, lse, delta)
+
+    dq = jnp.sum(dq_parts.astype(jnp.float32), axis=0).astype(q.dtype)
+    return dq, dk, dv
+
+
 def _flash_bwd(fold, bq, bk, window, res, g):
+    if window is None:
+        return _flash_bwd_fused(fold, bq, bk, res, g)
     q, k, v, o, lse = res
     lse = lse[..., None]  # residual stored squeezed; kernels want (B, QR, 1)
     do, _ = g
@@ -519,9 +641,9 @@ def _flash_bwd(fold, bq, bk, window, res, g):
         ),
     )(q, k, v, do, lse, delta)
 
-    # chain-rule constants: s_e = ln2 * (q_scaled . k); ds/dq_scaled = ln2*k
-    # was emitted without the ln2 (folded here); dk = ln2 * q_scaled^T ds
-    return dq * LN2, dk * LN2, dv
+    # chain-rule ln2 constants are already inside the kernels (dq via the
+    # lse shift, dk in its finalize) — no whole-tensor scale passes here
+    return dq, dk, dv
 
 
 # -------------------------------------------------------------- public API

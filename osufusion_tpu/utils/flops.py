@@ -110,25 +110,33 @@ def unet_fwd_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
     return total
 
 
-def unet_remat_recompute_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
-    """Forward FLOPs actually re-executed in the backward under the
-    "save-attn" remat mode: every ResidualBlock inside a UNetBlock plus every
-    transformer FeedForward (incl. the middle transformers). Attention
+def unet_remat_recompute_flops(
+    cfg: ModelConfig, batch: int, seq: int, remat_mode: str = "save-attn"
+) -> float:
+    """Forward FLOPs actually re-executed in the backward under the given
+    remat mode. "save-attn": every ResidualBlock inside a UNetBlock plus
+    every transformer FeedForward (incl. the middle transformers); attention
     modules, samplers, stems, middle resnets and the final head are NOT
-    rematerialized in that mode."""
+    rematerialized. "ff": the FeedForwards only. "resnet": the
+    ResidualBlocks only."""
     B, T = batch, seq
     h = cfg.dim_h
     dims = [h] + [h * m for m in cfg.dim_h_mult]
     total = 0.0
+    resnets = remat_mode != "ff"
+    ffs = remat_mode != "resnet"
 
     def ff(t: int, dim: int) -> float:
+        if not ffs:
+            return 0.0
         return _dense(B, t, dim, dim * 2) + _dense(B, t, dim * 2, dim)
 
     def stack() -> float:
         f, t = 0.0, T
         for i, din in enumerate(dims[:-1]):
             n_blocks = cfg.num_layer_blocks[i]
-            f += _resblock(B, t, din, din) * (n_blocks + 1)  # init + per-block
+            if resnets:
+                f += _resblock(B, t, din, din) * (n_blocks + 1)  # init + per-block
             f += ff(t, din) * n_blocks
             if i < len(dims) - 2:
                 t //= 2
@@ -142,7 +150,8 @@ def unet_remat_recompute_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
     for i, (dout, din) in enumerate(reversed(list(zip(dims[:-1], dims[1:])))):
         n_blocks = tuple(reversed(cfg.num_layer_blocks))[i]
         f_in = din + (dims[::-1][i + 1] if i + 1 < len(dims) else h)
-        total += _resblock(B, t, f_in, din) + _resblock(B, t, din, din) * n_blocks
+        if resnets:
+            total += _resblock(B, t, f_in, din) + _resblock(B, t, din, din) * n_blocks
         total += ff(t, din) * n_blocks
         if i < len(dims) - 2:
             t *= 2
@@ -159,4 +168,4 @@ def train_step_flops(
         return fwd * 3.0
     if remat_mode == "block":
         return fwd * 4.0
-    return fwd * 3.0 + unet_remat_recompute_flops(cfg, batch, seq)
+    return fwd * 3.0 + unet_remat_recompute_flops(cfg, batch, seq, remat_mode)

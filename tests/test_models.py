@@ -125,3 +125,32 @@ def test_nonmultiple_length_padding():
     x, a, c = tiny_batch(jax.random.PRNGKey(1), N=100)  # not a multiple of 4
     loss = model.loss(params, jax.random.PRNGKey(2), x, a, c)
     assert jnp.isfinite(loss)
+
+
+def test_remat_modes_are_memory_choices_not_math():
+    """Every remat granularity (block / save-attn / ff) gives the SAME loss
+    and gradients as no remat — rematerialization must never change numerics
+    (reference: grad checkpointing toggle, unet.py:452-456)."""
+    import dataclasses
+
+    rng = jax.random.PRNGKey(0)
+    x, a, c = tiny_batch(jax.random.PRNGKey(1))
+
+    def loss_and_grads(remat, mode):
+        cfg = dataclasses.replace(TINY, remat=remat, remat_mode=mode)
+        model = DiffusionModel(cfg, DIFF)
+        params = model.init_params(rng, seq_len=64)
+        fn = lambda p: model.loss(p, jax.random.PRNGKey(2), x, a, c)
+        return jax.value_and_grad(fn)(params)
+
+    base_loss, base_grads = loss_and_grads(False, "save-attn")
+    for mode in ("block", "save-attn", "ff", "resnet"):
+        loss, grads = loss_and_grads(True, mode)
+        np.testing.assert_allclose(float(loss), float(base_loss), rtol=1e-6)
+        jax.tree.map(
+            lambda g, b: np.testing.assert_allclose(
+                np.asarray(g), np.asarray(b), rtol=1e-5, atol=1e-6
+            ),
+            grads,
+            base_grads,
+        )

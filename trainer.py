@@ -218,6 +218,13 @@ def parse_args() -> Config:
     )
     p.add_argument("--full-bf16", action="store_true")
     p.add_argument("--gradient-checkpointing", action="store_true")
+    p.add_argument(
+        "--gradient-checkpointing-mode",
+        choices=["block", "save-attn", "ff", "resnet"],
+        default="save-attn",
+        help="remat granularity when --gradient-checkpointing is on "
+        "(block = max savings, save-attn = keep flash residuals, ff = FFs only)",
+    )
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
     p.add_argument("--clip-grad-norm", type=float, default=0.0)
     p.add_argument("--model-dim", type=int, default=512)
@@ -258,6 +265,7 @@ def parse_args() -> Config:
         dtype=dtype,
         quant="fp8" if args.mixed_precision == "fp8" else "none",
         remat=args.gradient_checkpointing,
+        remat_mode=args.gradient_checkpointing_mode,
     )
     diffusion = DiffusionConfig(objective=args.model_type)
     train_cfg = TrainConfig(

@@ -337,6 +337,11 @@ def parse_args():
     )
     p.add_argument("--full-bf16", action="store_true")
     p.add_argument("--gradient-checkpointing", action="store_true")
+    p.add_argument(
+        "--gradient-checkpointing-mode",
+        choices=["block", "save-attn", "ff", "resnet"],
+        default="save-attn",
+    )
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
     p.add_argument("--clip-grad-norm", type=float, default=0.0)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -379,6 +384,7 @@ def parse_args():
             dtype=dtype,
             quant="fp8" if args.mixed_precision == "fp8" else "none",
             remat=args.gradient_checkpointing,
+            remat_mode=args.gradient_checkpointing_mode,
         ),
         diffusion=DiffusionConfig(objective=args.model_type),
         train=TrainConfig(
