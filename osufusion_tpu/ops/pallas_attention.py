@@ -47,6 +47,8 @@ import functools
 import math
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -644,6 +646,404 @@ def _flash_bwd(fold, bq, bk, window, res, g):
     # chain-rule ln2 constants are already inside the kernels (dq via the
     # lse shift, dk in its finalize) — no whole-tensor scale passes here
     return dq, dk, dv
+
+
+# ------------------------------------------------- sequence-parallel (halo)
+#
+# Kernels for WINDOWED attention over a sequence-sharded activation: each
+# device holds a contiguous (B, T_local, H, D) slice of the global sequence
+# and a HALO-EXTENDED KV slab (B, T_local + window, D) assembled by the
+# caller with two ppermutes (window/2 frames from each neighbour — see
+# parallel/sequence.py). Because the window is +/- window/2, a query never
+# needs keys beyond the immediate neighbours' halo: full-song (65k-frame)
+# training shards over the `seq` mesh axis with O(window) ICI traffic per
+# layer instead of ring-attention's O(T) rotation.
+#
+# Coordinates: local query t sits at global g0 + t; halo slab index s holds
+# global g0 - window/2 + s. The window term |t - (s - window/2)| <= window/2
+# is device-independent; only the SEQUENCE-BOUNDS term (0 <= global < T)
+# needs g0/T, which arrive as scalar-prefetch operands so one compiled
+# kernel serves every device in the shard_map. Out-of-bounds halo positions
+# (sequence edges, where the ppermute delivered zeros) are masked to
+# NEG_INF; a visit that is fully masked leaves m at NEG_INF and p=exp2(0)=1
+# garbage in the accumulator, but the first in-bounds visit (every row's own
+# position is in-bounds) rescales by exp2(NEG_INF - m_real) = 0, scrubbing
+# it exactly — the standard online-softmax self-healing.
+
+
+def _halo_visits_fwd(window: int, bq: int, bk: int) -> int:
+    """Halo-slab blocks visited per q block: rows of block at local p cover
+    slab span [p, p + bq - 1 + window]."""
+    period = math.lcm(bq, bk) // bq
+    return max(
+        (p + bq - 1 + window) // bk - p // bk + 1
+        for p in (i * bq for i in range(period))
+    )
+
+
+def _halo_visits_bwd(window: int, bq: int, bk: int) -> int:
+    """Local q blocks visited per halo-slab block: slab block at s0 is
+    attended by local rows [s0 - window, s0 + bk - 1]."""
+    period = math.lcm(bq, bk) // bk
+    return max(
+        (s + bk - 1) // bq - (s - window) // bq + 1
+        for s in (j * bk for j in range(period))
+    )
+
+
+def _halo_mask(s, q_start, kext_start, window, fold, g0, tg):
+    """Mask a (bq*fold, bk) logits chunk in the halo frame: the window term
+    uses LOCAL coordinates (key slab index - window/2); the bounds term
+    shifts by the device offset g0 (scalar-prefetched)."""
+    rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0) // fold
+    cols = (
+        kext_start
+        - window // 2
+        + jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+    )
+    ok = jnp.abs(rows - cols) <= window // 2
+    cols_g = cols + g0
+    ok = jnp.logical_and(ok, jnp.logical_and(cols_g >= 0, cols_g < tg))
+    return jnp.where(ok, s, NEG_INF)
+
+
+def _halo_fwd_kernel(
+    info_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, bq, bk, nk, fold, window,
+):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n_visit = pl.num_programs(2)
+    g0 = info_ref[0]
+    tg = info_ref[1]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    virtual = (i * bq) // bk + j
+    # n_visit is the max span over q-block offsets; when window % bk != 0 the
+    # span VARIES with the offset and overflow visits would alias back into
+    # real, in-window blocks (the index map clips) — double-counting them.
+    # Bound by this block's own last needed slab block.
+    valid = jnp.logical_and(
+        virtual <= (i * bq + bq - 1 + window) // bk, virtual < nk
+    )
+    virtual = jnp.minimum(virtual, nk - 1)
+
+    def _update(apply_mask):
+        def body():
+            rows = fold * bq
+            q = q_ref[0].reshape(rows, q_ref.shape[-1])
+            k = k_ref[0]
+            v = v_ref[0]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if apply_mask:
+                s = _halo_mask(s, i * bq, virtual * bk, window, fold, g0, tg)
+            m_prev = m_ref[:]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            correction = jnp.exp2(m_prev - m_new)
+            l_new = correction * l_ref[:] + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            acc_ref[:] = acc_ref[:] * correction + pv
+            m_ref[:] = m_new
+            l_ref[:] = l_new
+
+        return body
+
+    # interior fast path: slab block inside every row's window AND fully
+    # in sequence bounds (the bounds leg is device-dependent, so dynamic)
+    w2 = window // 2
+    interior_window = jnp.logical_and(
+        virtual * bk >= i * bq + bq - 1,
+        virtual * bk + (bk - 1) <= i * bq + window,
+    )
+    base_g = g0 - w2 + virtual * bk
+    interior = jnp.logical_and(
+        interior_window, jnp.logical_and(base_g >= 0, base_g + bk <= tg)
+    )
+    pl.when(jnp.logical_and(valid, interior))(_update(False))
+    pl.when(jnp.logical_and(valid, jnp.logical_not(interior)))(_update(True))
+
+    @pl.when(j == n_visit - 1)
+    def _finalize():
+        l = l_ref[:]
+        o = (acc_ref[:] / l).astype(o_ref.dtype)
+        o_ref[0] = o.reshape(o_ref.shape[1:])
+        lse_ref[0] = m_ref[:] + jnp.log2(l)
+
+
+def _halo_flash_fwd(q, k_ext, v_ext, info, fold, bq, bk, window):
+    B, T, H, D = q.shape
+    S = k_ext.shape[1]
+    rows = fold * bq
+    nq = T // bq
+    nk = S // bk
+    n_visit = _halo_visits_fwd(window, bq, bk)
+
+    def kv_index(b, i, j, info):
+        return (b, jnp.minimum((i * bq) // bk + j, nk - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nq, n_visit),
+        in_specs=[
+            pl.BlockSpec((1, bq, H, D), lambda b, i, j, info: (b, i, 0, 0)),
+            pl.BlockSpec((1, bk, D), kv_index),
+            pl.BlockSpec((1, bk, D), kv_index),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, H, D), lambda b, i, j, info: (b, i, 0, 0)),
+            pl.BlockSpec((1, rows, 1), lambda b, i, j, info: (b, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, D), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+            pltpu.VMEM((rows, 1), jnp.float32),
+        ],
+    )
+    o, lse = pl.pallas_call(
+        functools.partial(_halo_fwd_kernel, bq=bq, bk=bk, nk=nk, fold=fold, window=window),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, H, D), q.dtype),
+            jax.ShapeDtypeStruct(_stats_shape(B, nq, rows), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+    )(info, q, k_ext, v_ext)
+    return o, lse
+
+
+def _halo_dq_kernel(
+    info_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc,
+    *, bq, bk, nk, fold, window,
+):
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    n_visit = pl.num_programs(2)
+    g0 = info_ref[0]
+    tg = info_ref[1]
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    virtual = (i * bq) // bk + j
+    valid = jnp.logical_and(
+        virtual <= (i * bq + bq - 1 + window) // bk, virtual < nk
+    )
+    virtual = jnp.minimum(virtual, nk - 1)
+
+    @pl.when(valid)
+    def _update():
+        rows = fold * bq
+        D = q_ref.shape[-1]
+        q = q_ref[0].reshape(rows, D)
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].reshape(rows, D)
+        lse = lse_ref[0] - math.log2(LN2)  # exp2(s - lse') = ln2 * p (see _dq_kernel)
+        delta = delta_ref[0]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = _halo_mask(s, i * bq, virtual * bk, window, fold, g0, tg)
+        p_ln2 = jnp.exp2(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p_ln2 * (dp - delta)
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == n_visit - 1)
+    def _finalize():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype).reshape(dq_ref.shape[1:])
+
+
+def _halo_dkv_kernel(
+    info_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc, *, bq, bk, nq, fold, window,
+):
+    jk = pl.program_id(1)  # halo-slab block
+    ii = pl.program_id(2)  # visited local q block
+    n_visit = pl.num_programs(2)
+    g0 = info_ref[0]
+    tg = info_ref[1]
+
+    @pl.when(ii == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    virtual = (jk * bk - window) // bq + ii  # local q block, may be out of range
+    # in-range AND within this slab block's own span (see _halo_fwd_kernel on
+    # variable spans when window % bq != 0)
+    valid = jnp.logical_and(
+        jnp.logical_and(virtual >= 0, virtual < nq),
+        virtual <= (jk * bk + bk - 1) // bq,
+    )
+
+    @pl.when(valid)
+    def _update():
+        rows = fold * bq
+        D = q_ref.shape[-1]
+        q = q_ref[0].reshape(rows, D)
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].reshape(rows, D)
+        lse = lse_ref[0]  # base-2
+        delta = delta_ref[0]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = _halo_mask(s, virtual * bq, jk * bk, window, fold, g0, tg)
+        p = jnp.exp2(s - lse)
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(ii == n_visit - 1)
+    def _finalize():
+        dk_ref[0] = (dk_acc[:] * LN2).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _halo_flash_bwd(fold, bq, bk, window, res, g):
+    q, k_ext, v_ext, info, o, lse = res
+    lse = lse[..., None]
+    do = g
+    B, T, H, D = q.shape
+    S = k_ext.shape[1]
+    bk = min(bk, 512)
+    rows = fold * bq
+    nq = T // bq
+    nk = S // bk
+    n_visit_k = _halo_visits_fwd(window, bq, bk)
+    n_visit_q = _halo_visits_bwd(window, bq, bk)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1).reshape(
+        _stats_shape(B, nq, rows)
+    )
+
+    def kv_index(b, i, j, info):
+        return (b, jnp.minimum((i * bq) // bk + j, nk - 1), 0)
+
+    stats_spec = pl.BlockSpec((1, rows, 1), lambda b, i, j, info: (b, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_halo_dq_kernel, bq=bq, bk=bk, nk=nk, fold=fold, window=window),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nq, n_visit_k),
+            in_specs=[
+                pl.BlockSpec((1, bq, H, D), lambda b, i, j, info: (b, i, 0, 0)),
+                pl.BlockSpec((1, bk, D), kv_index),
+                pl.BlockSpec((1, bk, D), kv_index),
+                pl.BlockSpec((1, bq, H, D), lambda b, i, j, info: (b, i, 0, 0)),
+                stats_spec,
+                stats_spec,
+            ],
+            out_specs=pl.BlockSpec((1, bq, H, D), lambda b, i, j, info: (b, i, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((rows, D), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, T, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+    )(info, q, k_ext, v_ext, do, lse, delta)
+
+    def q_index(b, jk, ii, info):
+        jj = jnp.clip((jk * bk - window) // bq + ii, 0, nq - 1)
+        return (b, jj, 0, 0)
+
+    def stats_index(b, jk, ii, info):
+        jj = jnp.clip((jk * bk - window) // bq + ii, 0, nq - 1)
+        return (b, jj, 0)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_halo_dkv_kernel, bq=bq, bk=bk, nq=nq, fold=fold, window=window),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nk, n_visit_q),
+            in_specs=[
+                pl.BlockSpec((1, bq, H, D), q_index),
+                pl.BlockSpec((1, bk, D), lambda b, jk, ii, info: (b, jk, 0)),
+                pl.BlockSpec((1, bk, D), lambda b, jk, ii, info: (b, jk, 0)),
+                pl.BlockSpec((1, bq, H, D), q_index),
+                pl.BlockSpec((1, rows, 1), stats_index),
+                pl.BlockSpec((1, rows, 1), stats_index),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, D), lambda b, jk, ii, info: (b, jk, 0)),
+                pl.BlockSpec((1, bk, D), lambda b, jk, ii, info: (b, jk, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, D), jnp.float32),
+                pltpu.VMEM((bk, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, S, D), k_ext.dtype),
+            jax.ShapeDtypeStruct((B, S, D), v_ext.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+    )(info, q, k_ext, v_ext, do, lse, delta)
+
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _halo_attention_core(q, k_ext, v_ext, info, fold, bq, bk, window):
+    o, _ = _halo_flash_fwd(q, k_ext, v_ext, info, fold, bq, bk, window)
+    return o
+
+
+def _halo_fwd_rule(q, k_ext, v_ext, info, fold, bq, bk, window):
+    o, lse = _halo_flash_fwd(q, k_ext, v_ext, info, fold, bq, bk, window)
+    return o, (q, k_ext, v_ext, info, o, lse[..., 0])
+
+
+def _halo_bwd_rule(fold, bq, bk, window, res, g):
+    dq, dk, dv = _halo_flash_bwd(fold, bq, bk, window, res, g)
+    info = res[3]
+    return dq, dk, dv, np.zeros(info.shape, jax.dtypes.float0)
+
+
+_halo_attention_core.defvjp(_halo_fwd_rule, _halo_bwd_rule)
+
+
+def halo_flash_attention(
+    q: jnp.ndarray,  # (B, T_local, H, D) — local query shard
+    k_ext: jnp.ndarray,  # (B, T_local + window, D) — halo-extended keys
+    v_ext: jnp.ndarray,  # (B, T_local + window, D)
+    window: int,
+    g0: jnp.ndarray,  # scalar int32: this shard's global start offset
+    t_global: int,  # full sequence length
+) -> jnp.ndarray:
+    """Windowed flash attention on one sequence shard with neighbour halos
+    (see parallel/sequence.py for the shard_map caller). q arrives RAW; the
+    softmax/exp2 scale is folded here like the single-chip path."""
+    B, T, H, D = q.shape
+    bq, bk, fold = _choose_blocks(T, k_ext.shape[1], H)
+    assert bq and bk, f"untileable halo shape T={T} S={k_ext.shape[1]}"
+    assert window % 2 == 0 and k_ext.shape[1] == T + window
+    q = q * jnp.asarray(D**-0.5 * LOG2E, q.dtype)
+    info = jnp.stack([g0.astype(jnp.int32), jnp.int32(t_global)])
+    return _halo_attention_core(q, k_ext, v_ext, info, fold, bq, bk, window)
 
 
 # -------------------------------------------------------------- public API
