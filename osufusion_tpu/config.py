@@ -146,9 +146,13 @@ class TrainConfig:
     sample_every: int = 1000
     sample_audio: Optional[str] = None
     seed: int = 0
-    # parallelism: data axis x model axis; -1 = all available devices on data
+    # parallelism: data x seq x model axes; -1 = all available devices on
+    # data. seq > 1 shards the FRAME axis (sequence parallelism) for
+    # full-song training: windowed attention runs halo-exchange kernels
+    # (parallel/sequence.py), everything else is GSPMD-partitioned.
     mesh_data: int = -1
     mesh_model: int = 1
+    mesh_seq: int = 1
     # ZeRO-1: shard optimizer moments over the data axis (no effect at data=1)
     shard_opt_state: bool = True
 

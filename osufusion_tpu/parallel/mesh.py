@@ -23,15 +23,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int = -1, model: int = 1, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    seq: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """(data, seq, model) mesh. ``seq`` > 1 enables sequence parallelism for
+    full-song training: activations shard on the frame axis and windowed
+    attention runs the halo-exchange kernels (parallel/sequence.py). A
+    size-1 seq axis is always present so PartitionSpecs naming it stay valid
+    on pure data/tensor-parallel meshes."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
-    arr = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(arr, axis_names=("data", "model"))
+        assert n % (model * seq) == 0, f"{n} devices not divisible by model*seq={model * seq}"
+        data = n // (model * seq)
+    assert data * model * seq <= n, f"mesh {data}x{seq}x{model} needs more than {n} devices"
+    arr = np.asarray(devices[: data * seq * model]).reshape(data, seq, model)
+    return Mesh(arr, axis_names=("data", "seq", "model"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

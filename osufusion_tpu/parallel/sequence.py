@@ -65,15 +65,56 @@ def _seq_attention_local(q, k, v, *, window: int, axis_name: str, n_shards: int,
     return halo_flash_attention(q, k_ext, v_ext, window, g0, t_global)
 
 
+def seq_axis_size(mesh: Mesh | None = None, axis: str = "seq") -> int:
+    """Size of the sequence axis on ``mesh`` or the ambient (set_mesh /
+    use_mesh) mesh; 0 when no mesh with that axis is active."""
+    if mesh is not None:
+        return mesh.shape.get(axis, 0)
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return 0
+    if am is None or axis not in getattr(am, "axis_names", ()):
+        return 0
+    return dict(zip(am.axis_names, am.axis_sizes))[axis]
+
+
+def seq_parallel_available(t: int, s: int, d: int, window: int | None, n: int) -> bool:
+    """Can the halo path serve this site? Self-attention with an engaged
+    window, shards that tile the flash kernel, and halos no wider than a
+    shard (halo exchange only reaches the immediate neighbours)."""
+    from osufusion_tpu.ops.pallas_attention import _pick_block
+
+    if n <= 1 or window is None or t != s or window >= t or t % n != 0:
+        return False
+    t_local = t // n
+    return (
+        d % 64 == 0
+        and t_local >= window // 2
+        and _pick_block(t_local, 512) > 0
+        and _pick_block(t_local + window, 512) > 0
+    )
+
+
 def sequence_parallel_attention(
     q: jnp.ndarray,  # (B, T, H, D) global, sharded on T over `axis`
     k: jnp.ndarray,  # (B, T, Kv, D)
     v: jnp.ndarray,  # (B, T, Kv, D)
     window: int,
-    mesh: Mesh,
+    mesh: Mesh | None = None,
     axis: str = "seq",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Windowed flash attention over a sequence-sharded mesh axis.
+
+    With ``mesh=None`` the ambient mesh (``jax.sharding.set_mesh`` /
+    ``use_mesh`` around the jitted caller) is used — this is how the
+    in-model dispatch (ops/attention.py) reaches it without threading a
+    Mesh through every module. ``batch_axis`` (e.g. "data") declares the
+    batch dim's sharding so data parallelism composes without an
+    all-gather; head/feature dims are declared replicated — combining
+    seq parallelism with tensor-parallel attention heads would reshard
+    q/k/v over 'model' at the shard_map boundary (correct, not free).
 
     GQA (Kv > 1) runs one halo call per KV head on its query-head slice,
     mirroring `flash_attention`'s dispatch. The window must be strictly
@@ -81,7 +122,10 @@ def sequence_parallel_attention(
     global — use tensor/data parallelism for that regime)."""
     B, T, H, D = q.shape
     Kv = k.shape[2]
-    n = mesh.shape[axis]
+    n = seq_axis_size(mesh, axis)
+    assert n >= 1, f"no '{axis}' axis on the active mesh"
+    if batch_axis is not None and seq_axis_size(mesh, batch_axis) == 0:
+        batch_axis = None  # mesh has no such axis (e.g. a seq-only test mesh)
     assert T % n == 0, f"sequence {T} not divisible by {n} '{axis}' shards"
     assert window < T, "window covers the whole sequence: use flash_attention"
     if Kv != 1:
@@ -91,7 +135,7 @@ def sequence_parallel_attention(
                 q[:, :, g * group : (g + 1) * group, :],
                 k[:, :, g : g + 1, :],
                 v[:, :, g : g + 1, :],
-                window, mesh, axis,
+                window, mesh, axis, batch_axis,
             )
             for g in range(Kv)
         ]
@@ -101,8 +145,8 @@ def sequence_parallel_attention(
         _seq_attention_local,
         window=window, axis_name=axis, n_shards=n, t_global=T,
     )
-    seq = P(None, axis, None, None)
-    kv_spec = P(None, axis, None)
+    seq = P(batch_axis, axis, None, None)
+    kv_spec = P(batch_axis, axis, None)
     fn = jax.shard_map(
         body,
         mesh=mesh,

@@ -156,15 +156,35 @@ def make_train_step(model: GenerativeModel, cfg: Config, mesh: Mesh):
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state, rng=rng)
         return new_state, metrics
 
-    # batch arrays: (B, ...) sharded over data, or (accum, B, ...) with accum unsharded
-    spec = P("data") if accum <= 1 else P(None, "data")
-    batch_sh = NamedSharding(mesh, spec)
+    # batch arrays: (B, ...) sharded over data, or (accum, B, ...) with accum
+    # unsharded. With a seq axis > 1, the frame axis of x (B, 6, T) and
+    # a (B, 96, T) shards over it — the attention sites then run the
+    # halo-exchange kernels (parallel/sequence.py) instead of gathering T.
+    seq_n = mesh.shape.get("seq", 1)
+    lead = () if accum <= 1 else (None,)
+    if seq_n > 1:
+        xa_spec = P(*lead, "data", None, "seq")
+    else:
+        xa_spec = P(*lead, "data")
+    bc_spec = P(*lead, "data")
+    sh = lambda s: NamedSharding(mesh, s)
+    batch_sh = (sh(xa_spec), sh(xa_spec), sh(bc_spec), sh(bc_spec))
 
-    return jax.jit(
+    jitted = jax.jit(
         step_fn,
         donate_argnums=(0,),
-        in_shardings=(None, (batch_sh, batch_sh, batch_sh, batch_sh)),
+        in_shardings=(None, batch_sh),
     )
+    if seq_n <= 1:
+        return jitted
+
+    # the seq-parallel dispatch reads the AMBIENT mesh (ops/attention.py);
+    # establish it around trace and execution
+    def step_with_mesh(state, batch):
+        with jax.sharding.set_mesh(mesh):
+            return jitted(state, batch)
+
+    return step_with_mesh
 
 
 # --------------------------------------------------------------- checkpoints

@@ -78,6 +78,63 @@ def test_seq_parallel_gqa():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_seq_parallel_train_step_matches_dp():
+    """Full tiny-UNet train step on a data x seq mesh vs pure DP: sequence
+    sharding (halo attention + GSPMD-partitioned convs/norms) is a layout
+    choice, not a math change. T=256 > ctx=64 so windows engage and the
+    level-0 attention actually takes the halo path (level 1's 32-frame
+    shards don't tile — it falls back to the gathered kernel, also correct)."""
+    from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
+    from osufusion_tpu.models import build_model
+    from osufusion_tpu.parallel import make_mesh
+    from osufusion_tpu.train.loop import init_state, make_train_step, shard_state
+
+    model_cfg = ModelConfig(
+        dim_h=32,
+        dim_h_mult=(1, 2),
+        num_layer_blocks=(1, 1),
+        num_middle_transformers=1,
+        attn_dim_head=64,
+        attn_heads=2,
+        attn_kv_heads=1,
+        attn_context_len=64,
+        dtype="float32",  # backend "auto": halo kernels at seq-shardable
+        # sites, XLA einsum elsewhere (interpret-mode flash can't run
+        # REPLICATED under a partitioned jit — only manual/shard_map'd)
+    )
+    rng = np.random.default_rng(0)
+    B, T = 2, 256
+    batch = (
+        rng.uniform(-1, 1, (B, 6, T)).astype(np.float32),
+        rng.normal(-10, 1, (B, 96, T)).astype(np.float32),
+        rng.uniform(-1, 1, (B, 5)).astype(np.float32),
+        np.full(B, T, dtype=np.int32),
+    )
+
+    results = []
+    with pltpu.force_tpu_interpret_mode():
+        for d, s in [(2, 1), (2, 4)]:
+            cfg = Config(
+                model=model_cfg,
+                diffusion=DiffusionConfig(),
+                train=TrainConfig(total_steps=10, warmup_steps=2, lr=1e-3, batch_size=B),
+            )
+            model = build_model(cfg.model, cfg.diffusion)
+            mesh = make_mesh(data=d, seq=s, model=1)
+            state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+            state, _ = shard_state(state, mesh)
+            step = make_train_step(model, cfg, mesh)
+            state, metrics = step(state, batch)
+            results.append(
+                (float(metrics["loss"]), jax.tree.map(np.asarray, jax.device_get(state.params)))
+            )
+
+    (loss_dp, p_dp), (loss_sp, p_sp) = results
+    assert loss_dp == pytest.approx(loss_sp, rel=1e-4)
+    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_sp)):
+        np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4)
+
+
 def test_seq_parallel_single_shard_degenerate():
     """n=1 'mesh' pads zeros instead of permuting; bounds mask must still
     reproduce the plain windowed kernel."""

@@ -96,7 +96,7 @@ def train(cfg: Config) -> None:
     project_dir.mkdir(parents=True, exist_ok=True)
     cfg.save(project_dir / "config.json")
 
-    mesh = make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
+    mesh = make_mesh(cfg.train.mesh_data, cfg.train.mesh_model, cfg.train.mesh_seq)
     print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
 
     model = build_model(cfg.model, cfg.diffusion)
@@ -242,6 +242,7 @@ def parse_args() -> Config:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--mesh-seq", type=int, default=1)
     args = p.parse_args()
 
     if args.dummy_dataset:
@@ -296,6 +297,7 @@ def parse_args() -> Config:
         seed=args.seed,
         mesh_data=args.mesh_data,
         mesh_model=args.mesh_model,
+        mesh_seq=args.mesh_seq,
     )
     return Config(model=model, diffusion=diffusion, train=train_cfg)
 

@@ -185,7 +185,7 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
     project_dir = Path(cfg.train.project_dir)
     project_dir.mkdir(parents=True, exist_ok=True)
 
-    mesh = make_mesh(cfg.train.mesh_data, cfg.train.mesh_model)
+    mesh = make_mesh(cfg.train.mesh_data, cfg.train.mesh_model, cfg.train.mesh_seq)
     print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
 
     model = build_model(cfg.model, cfg.diffusion)
@@ -357,6 +357,7 @@ def parse_args():
     p.add_argument("--num-workers", type=int, default=2)
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--mesh-seq", type=int, default=1)
     # LoRA config (reference defaults: r=32 alpha=32 DoRA on)
     p.add_argument("--lora-r", type=int, default=32)
     p.add_argument("--lora-alpha", type=float, default=32.0)
@@ -413,6 +414,7 @@ def parse_args():
             num_workers=args.num_workers,
             mesh_data=args.mesh_data,
             mesh_model=args.mesh_model,
+            mesh_seq=args.mesh_seq,
         ),
     )
     lora_cfg = LoraConfig(
