@@ -186,10 +186,130 @@ def bench_train() -> dict:
     }
 
 
+def bench_fullsong_train() -> dict:
+    """One production-width train step at the FullSequenceDataset cap.
+
+    The reference's FullSequenceDataset trains on whole maps up to 65536
+    frames (ref osu_fusion/library/dataset.py:134-143); nothing bounds it to
+    the 4096-crop config the MFU bench uses. This mode measures that story on
+    one chip: dim_h=512, B=1, T=65536, windowed attention engaging beyond the
+    trained context (our documented long-sequence semantic), remat "block"
+    (the smallest-memory mode — at 65k frames the per-level hidden states are
+    16x the production bench's, so saving attention residuals is a luxury).
+    On OOM it emits a JSON artifact recording the failure point instead of a
+    traceback, per VERDICT round-2 item 6.
+    """
+    from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
+    from osufusion_tpu.models import build_model
+    from osufusion_tpu.parallel import make_mesh
+    from osufusion_tpu.train.loop import init_state, make_train_step, shard_state
+
+    dim_h = int(os.environ.get("BENCH_DIM_H", 512))
+    batch = int(os.environ.get("BENCH_BATCH", 1))
+    seq = int(os.environ.get("BENCH_SEQ", 65536))
+    steps = int(os.environ.get("BENCH_STEPS", 5))
+    remat_mode = os.environ.get("BENCH_REMAT_MODE", "block")
+
+    cfg = Config(
+        model=ModelConfig(
+            dim_h=dim_h,
+            dtype="bfloat16",
+            param_dtype="bfloat16",
+            remat=True,
+            remat_mode=remat_mode,
+        ),
+        diffusion=DiffusionConfig(),
+        train=TrainConfig(batch_size=batch, total_steps=10**6, warmup_steps=1000, lr=1e-5, full_bf16=True),
+    )
+    detail: dict = {
+        "dim_h": dim_h,
+        "batch": batch,
+        "seq": seq,
+        "remat_mode": remat_mode,
+        "device": jax.devices()[0].device_kind,
+    }
+
+    def hbm() -> dict:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return {
+            k: stats[k]
+            for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")
+            if k in stats
+        }
+
+    try:
+        mesh = make_mesh(data=1, model=1)
+        model = build_model(cfg.model, cfg.diffusion)
+        state = init_state(model, cfg, jax.random.PRNGKey(0))
+        state, _ = shard_state(state, mesh)
+        step_fn = make_train_step(model, cfg, mesh)
+
+        kx, ka, kc = jax.random.split(jax.random.PRNGKey(1), 3)
+        batch_data = jax.device_put(
+            (
+                jax.random.uniform(kx, (batch, 6, seq), minval=-1, maxval=1),
+                jax.random.normal(ka, (batch, 96, seq)) - 10.0,
+                jax.random.uniform(kc, (batch, 5), minval=-1, maxval=1),
+                jnp.full((batch,), seq, dtype=jnp.int32),
+            )
+        )
+
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch_data)
+        _ = float(metrics["loss"])
+        detail["compile_s"] = round(time.perf_counter() - t0, 1)
+
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step_fn(state, batch_data)
+        _ = float(metrics["loss"])
+        dt = (time.perf_counter() - t0) / steps
+    except Exception as e:  # document the OOM point rather than crash
+        detail["error"] = f"{type(e).__name__}: {str(e)[:400]}"
+        detail["hbm"] = hbm()
+        return {
+            "metric": "fullsong_train_step",
+            "value": -1,
+            "unit": "s/step",
+            "vs_baseline": 0.0,
+            "detail": detail,
+        }
+
+    from osufusion_tpu.utils.flops import train_step_flops, unet_fwd_flops
+
+    model_flops = 3.0 * unet_fwd_flops(cfg.model, batch, seq)
+    executed_flops = train_step_flops(
+        cfg.model, batch, seq, remat=cfg.model.remat, remat_mode=cfg.model.remat_mode
+    )
+    peak = 197e12 if "v5" in detail["device"].lower() else 197e12
+    detail.update(
+        {
+            "steps_per_sec": round(1.0 / dt, 4),
+            "mfu": round(model_flops / dt / peak * 100.0, 2),
+            "hfu": round(executed_flops / dt / peak * 100.0, 2),
+            "model_flops_per_step": model_flops,
+            "hbm": hbm(),
+        }
+    )
+    return {
+        "metric": "fullsong_train_step",
+        "value": round(dt, 4),
+        "unit": "s/step",
+        "vs_baseline": round(model_flops / dt / peak / 0.40, 3),
+        "detail": detail,
+    }
+
+
 def main() -> None:
+    from osufusion_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     enable_compilation_cache()
     mode = os.environ.get("BENCH_MODE", "gen")
-    result = bench_generation() if mode == "gen" else bench_train()
+    if mode == "fullsong_train":
+        result = bench_fullsong_train()
+    else:
+        result = bench_generation() if mode == "gen" else bench_train()
     print(json.dumps(result))
 
 

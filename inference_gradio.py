@@ -119,4 +119,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    from osufusion_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     main()

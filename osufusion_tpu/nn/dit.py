@@ -149,6 +149,15 @@ class DiT(nn.Module):
         audio_encoded: bool = False,  # DiT consumes raw audio; flag accepted for API parity
     ) -> jnp.ndarray:
         cfg = self.cfg
+        # The reference's DiTAttention adds its (B, T, heads*dim_head) output
+        # straight back to the residual stream with no to_out projection
+        # (reference dit.py:108-116), which silently constrains the config.
+        # Surface that constraint instead of a cryptic broadcast error.
+        assert cfg.attn_heads * cfg.attn_dim_head == cfg.dim_h, (
+            f"DiT requires attn_heads*attn_dim_head == dim_h "
+            f"({cfg.attn_heads}*{cfg.attn_dim_head} != {cfg.dim_h}): the "
+            "attention output feeds the residual stream without a projection"
+        )
         common = dict(dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
         dim_h = cfg.dim_h
         B, n, _ = x.shape

@@ -157,6 +157,14 @@ class MMDiT(nn.Module):
         audio_encoded: bool = False,  # consumes raw audio; flag for API parity
     ) -> jnp.ndarray:
         cfg = self.cfg
+        # Like the reference's JointAttention (mmdit.py:65-127, no to_out),
+        # attention output feeds the residual stream unprojected — surface
+        # the heads*dim_head == dim_h constraint as a clear error.
+        assert cfg.attn_heads * cfg.attn_dim_head == cfg.dim_h, (
+            f"MMDiT requires attn_heads*attn_dim_head == dim_h "
+            f"({cfg.attn_heads}*{cfg.attn_dim_head} != {cfg.dim_h}): the "
+            "joint-attention output feeds the residual stream unprojected"
+        )
         common = dict(dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype)
         dim_h = cfg.dim_h
         patch = cfg.patch_size

@@ -176,13 +176,14 @@ def train(cfg: Config) -> None:
             step=current_step,
         )
 
-        if current_step % cfg.train.save_every == 0:
+        if cfg.train.save_every > 0 and current_step % cfg.train.save_every == 0:
             logger.log({"save_loss": avg_loss}, step=current_step)
             save_checkpoint(mngr, state)
             save_data_state(project_dir, current_step, batches)
 
         if (
-            current_step % cfg.train.sample_every == 0
+            cfg.train.sample_every > 0
+            and current_step % cfg.train.sample_every == 0
             and cfg.train.sample_audio is not None
             and Path(cfg.train.sample_audio).exists()
         ):
@@ -228,8 +229,14 @@ def parse_args() -> Config:
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
     p.add_argument("--clip-grad-norm", type=float, default=0.0)
     p.add_argument("--model-dim", type=int, default=512)
+    # the reference builds its DiT/MMDiT backbones but never reaches them from
+    # any CLI (SURVEY §2.4 "orphan"); here every backbone is trainable
+    p.add_argument("--model-backbone", type=str, default="unet", choices=["unet", "dit", "mmdit"])
     p.add_argument("--model-attn-heads", type=int, default=16)
     p.add_argument("--model-attn-kv-heads", type=int, default=1)
+    # transformer-backbone depth (DiT/MMDiT block count; the UNet derives its
+    # depth from dim_h_mults) — parsed-but-dead in the reference (trainer.py:381)
+    p.add_argument("--model-depth", type=int, default=12)
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--num-workers", type=int, default=2)
@@ -261,6 +268,8 @@ def parse_args() -> Config:
     ]
     model = ModelConfig(
         dim_h=args.model_dim,
+        backbone=args.model_backbone,
+        depth=args.model_depth,
         attn_heads=args.model_attn_heads,
         attn_kv_heads=args.model_attn_kv_heads,
         dtype=dtype,
@@ -303,4 +312,7 @@ def parse_args() -> Config:
 
 
 if __name__ == "__main__":
+    from osufusion_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     train(parse_args())

@@ -279,13 +279,14 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
         )
         logger.log({"loss": loss, "total_norm": float(grad_norm)}, step=current_step)
 
-        if current_step % cfg.train.save_every == 0:
+        if cfg.train.save_every > 0 and current_step % cfg.train.save_every == 0:
             save_adapter_checkpoint(adapters, opt_state, current_step, project_dir, lora_cfg)
             prune_adapter_checkpoints(project_dir, cfg.train.max_num_checkpoints)
             save_data_state(project_dir, current_step, batches)
 
         if (
-            current_step % cfg.train.sample_every == 0
+            cfg.train.sample_every > 0
+            and current_step % cfg.train.sample_every == 0
             and cfg.train.sample_audio is not None
             and Path(cfg.train.sample_audio).exists()
         ):
@@ -427,5 +428,8 @@ def parse_args():
 
 
 if __name__ == "__main__":
+    from osufusion_tpu.utils.platform import pin_platform_from_env
+
+    pin_platform_from_env()
     cfg, model_path, lora_cfg, resume = parse_args()
     train(cfg, model_path, lora_cfg, resume)
