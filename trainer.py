@@ -160,7 +160,7 @@ def train(cfg: Config) -> None:
 
         loss = float(metrics["loss"])
         losses.append(loss)
-        if len(losses) > cfg.train.save_every:
+        if len(losses) > max(1, cfg.train.save_every):
             losses.pop(0)
         avg_loss = sum(losses) / len(losses)
 

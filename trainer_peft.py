@@ -268,7 +268,7 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
 
         loss = float(loss)
         losses.append(loss)
-        if len(losses) > cfg.train.save_every:
+        if len(losses) > max(1, cfg.train.save_every):
             losses.pop(0)
         dt = time.time() - t_last
         t_last = time.time()
