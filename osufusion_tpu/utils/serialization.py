@@ -57,13 +57,25 @@ def load_params_lenient(params_like: Any, loaded_flat_or_tree: Any, verbose: boo
     def path_str(kp) -> str:
         return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
 
-    like_keys = {path_str(kp) for kp, _ in flat_like}
+    like_shapes = {path_str(kp): v.shape for kp, v in flat_like}
+    like_keys = set(like_shapes)
     missing = sorted(like_keys - set(flat_loaded))
     unexpected = sorted(set(flat_loaded) - like_keys)
+    mismatched = sorted(
+        k for k in like_keys & set(flat_loaded) if flat_loaded[k].shape != like_shapes[k]
+    )
     if verbose and missing:
         print(f"Missing keys ({len(missing)}): {missing[:8]}{'...' if len(missing) > 8 else ''}")
     if verbose and unexpected:
         print(f"Unexpected keys ({len(unexpected)}): {unexpected[:8]}{'...' if len(unexpected) > 8 else ''}")
+    if verbose and mismatched:
+        # a key that exists but with the wrong shape means the architectures
+        # disagree — the most dangerous case, since the random init stays
+        examples = [f"{k} {flat_loaded[k].shape}->{like_shapes[k]}" for k in mismatched[:4]]
+        print(
+            f"Shape-mismatched keys kept at their INIT values ({len(mismatched)}): "
+            f"{examples}{'...' if len(mismatched) > 4 else ''}"
+        )
 
     def fill(kp, ref):
         key = path_str(kp)

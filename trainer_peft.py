@@ -180,8 +180,42 @@ def load_adapter_checkpoint(ckpt_dir: Path, adapters, opt_state):
     return adapters, opt_state, int(npz["step"])
 
 
+def adopt_pretrain_architecture(cfg: Config, model_path: Path | None) -> Config:
+    """Build the SAME architecture the pretrained weights were trained with.
+
+    The pretrainer saves ``config.json`` next to ``model.safetensors``; trust
+    it for every architecture field and keep only the runtime knobs (dtypes,
+    quant, remat) from this CLI. Without this, a --model-dim/head-count that
+    disagrees with the checkpoint silently fine-tunes half-random weights
+    (the lenient loader keeps the init for shape-mismatched keys)."""
+    import dataclasses
+
+    if model_path is None:
+        return cfg
+    cfg_path = Path(model_path).parent / "config.json"
+    if not cfg_path.exists():
+        return cfg
+    saved = Config.load(cfg_path).model
+    if saved.dim_h != cfg.model.dim_h:
+        print(
+            f"note: --model-dim {cfg.model.dim_h} overridden by the pretrained "
+            f"checkpoint's config.json (dim_h={saved.dim_h})"
+        )
+    model = dataclasses.replace(
+        saved,
+        dtype=cfg.model.dtype,
+        param_dtype=cfg.model.param_dtype,
+        quant=cfg.model.quant,
+        remat=cfg.model.remat,
+        remat_mode=cfg.model.remat_mode,
+        attn_backend=cfg.model.attn_backend,
+    )
+    return dataclasses.replace(cfg, model=model)
+
+
 def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> None:
     print("Initializing...")
+    cfg = adopt_pretrain_architecture(cfg, model_path)
     project_dir = Path(cfg.train.project_dir)
     project_dir.mkdir(parents=True, exist_ok=True)
 
