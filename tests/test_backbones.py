@@ -27,6 +27,19 @@ def tiny_cfg(backbone: str) -> ModelConfig:
 
 
 @pytest.mark.parametrize("backbone", ["dit", "mmdit"])
+def test_backbone_rejects_unprojected_head_mismatch(backbone):
+    # attention output feeds the residual stream without a projection
+    # (reference dit.py:108-116), so heads*dim_head must equal dim_h; the
+    # constraint must surface as a clear error, not a broadcast failure
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg(backbone), attn_dim_head=8)  # 2*8 != 32
+    model = DiffusionModel(cfg, DiffusionConfig(sampling_timesteps=2))
+    with pytest.raises(AssertionError, match="attn_heads"):
+        model.init_params(jax.random.PRNGKey(0), seq_len=64)
+
+
+@pytest.mark.parametrize("backbone", ["dit", "mmdit"])
 def test_backbone_forward_and_zero_init(backbone):
     model = DiffusionModel(tiny_cfg(backbone), DiffusionConfig(sampling_timesteps=2))
     params = model.init_params(jax.random.PRNGKey(0), seq_len=64)

@@ -161,3 +161,39 @@ def test_lenient_load_reports_and_fills(capsys):
     np.testing.assert_array_equal(np.asarray(out["a"]["bias"]), 0.0)  # missing: kept
     captured = capsys.readouterr().out
     assert "Missing keys" in captured and "Unexpected keys" in captured
+
+
+def test_lenient_load_reports_shape_mismatch(capsys):
+    # a key that exists with the wrong shape must keep the init AND say so
+    # (regression: fine-tuning a checkpoint with a mismatched --model-dim
+    # silently trained half-random weights)
+    from osufusion_tpu.utils.serialization import load_params_lenient
+
+    like = {"a": {"kernel": jnp.zeros((2, 3))}}
+    loaded = {"a": {"kernel": np.ones((4, 3), np.float32)}}
+    out = load_params_lenient(like, loaded)
+    np.testing.assert_array_equal(np.asarray(out["a"]["kernel"]), 0.0)
+    assert "Shape-mismatched" in capsys.readouterr().out
+
+
+def test_peft_adopts_pretrain_architecture(tmp_path):
+    # trainer_peft must build the checkpoint's architecture (config.json next
+    # to model.safetensors), keeping only runtime knobs from the CLI
+    import dataclasses
+
+    from trainer_peft import adopt_pretrain_architecture
+
+    Config(model=ModelConfig(dim_h=48, attn_heads=3, attn_dim_head=16)).save(
+        tmp_path / "config.json"
+    )
+    cli = Config(
+        model=ModelConfig(dim_h=512, attn_heads=16, remat=True, quant="fp8")
+    )
+    out = adopt_pretrain_architecture(cli, tmp_path / "model.safetensors")
+    assert out.model.dim_h == 48 and out.model.attn_heads == 3
+    assert out.model.attn_dim_head == 16
+    assert out.model.remat is True and out.model.quant == "fp8"
+    # no sibling config.json -> CLI architecture kept unchanged
+    out2 = adopt_pretrain_architecture(cli, tmp_path / "elsewhere" / "model.safetensors")
+    assert out2.model.dim_h == 512
+    assert adopt_pretrain_architecture(cli, None).model.dim_h == 512
