@@ -211,6 +211,9 @@ class CircleIR:
     def object_line(self) -> str:
         return f"{self.x},{self.y},{self.t},{_TYPE_CIRCLE + _combo_bit(self.new_combo)},0,0:0:0:0:"
 
+    def end_time(self) -> int:
+        return self.t
+
 
 @dataclass(frozen=True)
 class SpinnerIR:
@@ -221,15 +224,20 @@ class SpinnerIR:
     def object_line(self) -> str:
         return f"256,192,{self.t},{_TYPE_SPINNER + _combo_bit(self.new_combo)},0,{self.end_t}"
 
+    def end_time(self) -> int:
+        return self.end_t
+
 
 @dataclass(frozen=True)
 class SliderIR:
     t: int
-    end_t: int
+    end_t: int  # effective end under the parsed (quantized + clamped) velocity
     anchors: Tuple[Tuple[int, int], ...]  # rounded control points, head first
     length: float  # px, one slide
     slides: int
     new_combo: bool
+    sv: float  # slider-velocity multiplier, already quantized to what a parser recovers
+    clamped: bool  # True if the natural velocity fell outside the [0.1, 10] SV range
 
     def object_line(self) -> str:
         head_x, head_y = self.anchors[0]
@@ -239,15 +247,23 @@ class SliderIR:
             f"B|{path},{self.slides},{self.length}"
         )
 
+    def end_time(self) -> int:
+        return self.end_t
+
     def velocity_line(self, grid: TempoGrid, verbose: bool) -> str:
-        """Inherited timing point setting this slider's velocity so it spans
-        exactly [t, end_t]."""
-        px_per_ms = self.length * self.slides / (self.end_t - self.t)
-        sv = px_per_ms / grid.base_slider_velocity
-        sv = 1 if sv == 0 else sv
-        if (sv > 10 or sv < 0.1) and verbose:
-            print(f"Warning: slider velocity {sv} is out of bounds, slider will not be good")
-        return f"{self.t},{-100 / sv},4,0,0,50,0,0"
+        """Inherited timing point setting this slider's velocity.
+
+        ``sv`` is already the value a parser recovers (round-3-decimals +
+        clamp to [0.1, 10], the osu! SV rules), and ``end_t`` was recomputed
+        from it, so the emitted file is self-consistent: the slider a parser
+        reconstructs spans exactly [t, end_t]. The reference wrote the raw
+        (possibly out-of-range) velocity and only warned (ref decode.py:231),
+        producing sliders up to 13x longer than intended once the reader
+        clamps — overlapping later objects its own parser then rejects.
+        """
+        if verbose and self.clamped:
+            print(f"Warning: slider at {self.t} needed an out-of-range velocity; clamped to {self.sv}")
+        return f"{self.t},{-100.0 / self.sv},4,0,0,50,0,0"
 
 
 HitObjectIR = Union[CircleIR, SpinnerIR, SliderIR]
@@ -301,9 +317,24 @@ def _classify_onset(
     slides = max(1, round((sustain_end - frame) / (slide_end - frame)))
     first_slide_stop = round(frame + (sustain_end - frame) / slides)
     length, anchors = fit_slider_path(cursor_xy[frame : first_slide_stop + 1])
-    if length == 0:
+    if length == 0 or u <= t:
         return circle  # degenerate path (reference also emitted a bad slider line)
-    return SliderIR(t, u, tuple(anchors), length, slides, new_combo)
+    # Velocity that spans [t, u] — quantized and clamped exactly as a parser
+    # will recover it (round to 3 decimals, clip to the osu! SV range), then
+    # the end time recomputed from the quantized value so the written file is
+    # self-consistent (see SliderIR.velocity_line).
+    sv_exact = length * slides / (u - t) / grid.base_slider_velocity
+    sv = float(min(10.0, max(0.1, round(sv_exact, 3))))
+    # Mirror the parser's end-time float expression bit-for-bit
+    # (beatmap.py _read_slider -> Slider.slide_duration -> end_time): the
+    # written length / beat_length / sv all round-trip exactly through the
+    # file text, so computing the same ops in the same order makes the
+    # decoder's span identical to the span its own parser reconstructs —
+    # no tolerance needed at either end.
+    slide_duration = length / ((SLIDER_MULT * sv) * 100) * grid.beat_length
+    u_eff = int(t + slide_duration * slides)
+    clamped = not (0.1 <= round(sv_exact, 3) <= 10.0)
+    return SliderIR(t, u_eff, tuple(anchors), length, slides, new_combo, sv, clamped)
 
 
 # --------------------------------------------------------------------------
@@ -380,10 +411,24 @@ def decode_beatmap(
 
     timing_lines = [grid.header_line()]
     object_lines: List[str] = []
+    # An onset that starts inside the previous object's span (e.g. a circle
+    # while a spinner is still held — which an untrained/noisy model emits
+    # freely) produces a file the beatmap parser rejects. The reference
+    # emitted such lines anyway (reference decode.py:185-224 vs its own
+    # parser check, beatmap.py:137); we drop them so decoded output always
+    # re-parses.
+    prev_end = -(10**9)
+    dropped = 0
     for k in range(events.frames.size):
         ir = _classify_onset(k, events, cursor_xy, frame_times, grid)
+        if ir.t < prev_end:
+            dropped += 1
+            continue
+        prev_end = ir.end_time()
         object_lines.append(ir.object_line())
         if isinstance(ir, SliderIR):
             timing_lines.append(ir.velocity_line(grid, verbose))
+    if dropped and verbose:
+        print(f"Warning: dropped {dropped} onset(s) overlapping a previous object's span")
 
     return _render_osu(metadata, timing_lines, object_lines)

@@ -158,6 +158,9 @@ def _decode_hit_objects(lines: List[str], bm: "Beatmap") -> List[HitObject]:
         if reader is None:
             continue
         ho = reader(cols, t, bool(kind & BIT_NEW_COMBO), bm)
+        # strict check; exactly-abutting objects (t == end) are accepted.
+        # decode_beatmap guarantees its output satisfies this by recomputing
+        # each slider's end time with this parser's own float expression.
         if out and ho.t < out[-1].end_time():
             raise ValueError(f"hit objects not in chronological order: {ho.t} < {out[-1].end_time()}")
         out.append(ho)
@@ -181,6 +184,8 @@ def _busy_span(ho: HitObject) -> float:
 def _busy_pos(ho: HitObject, rel: float) -> np.ndarray:
     """Cursor position ``rel`` ms into the busy phase."""
     if isinstance(ho, Slider):
+        if ho.slide_duration <= 0.0:  # zero-pixel-length slider: cursor sits on its head
+            return np.asarray(ho.lerp(0.0), dtype=float)
         # ping-pong over the path: slide k alternates direction
         phase = (rel / ho.slide_duration) % 2.0
         return np.asarray(ho.lerp(phase if phase <= 1.0 else 2.0 - phase), dtype=float)

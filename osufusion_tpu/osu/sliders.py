@@ -40,8 +40,11 @@ class Line(Slider):
         super().__init__(t, beat_length, slider_multiplier, new_combo, slides, length)
         self.start = np.asarray(start, dtype=float)
         vec = np.asarray(end, dtype=float) - self.start
-        # extend/trim to the declared pixel length
-        self.end = self.start + vec / np.linalg.norm(vec) * length
+        # extend/trim to the declared pixel length; a degenerate line (zero
+        # declared length or coincident anchors, both occur in real corpora)
+        # collapses to its head rather than propagating 0/0 NaNs
+        norm = float(np.linalg.norm(vec))
+        self.end = self.start + vec / norm * length if norm > 0.0 else self.start.copy()
 
     def lerp(self, t: float) -> np.ndarray:
         return round_and_cast((1 - t) * self.start + t * self.end)
@@ -149,9 +152,18 @@ class Bezier(Slider):
                 tail = np.stack([point, point + vec / norm * tail_length])
                 curves.append(tail)
 
+        if not curves:
+            # every control point coincident: a zero-extent path pinned at
+            # the head (real corpora contain such sliders; NaNs here would
+            # silently corrupt every downstream cursor signal)
+            p0 = self.control_points[0]
+            curves = [np.stack([p0, p0])]
         self.path_segments = curves
         seg_lengths = np.array([bezier_math.curve_length(c) for c in curves])
-        self.cum_t = np.cumsum(seg_lengths) / self.length
+        # fraction of the declared length each segment ends at; a degenerate
+        # zero declared length normalizes by the geometric length instead
+        denom = self.length if self.length > 0 else max(float(seg_lengths.sum()), 1.0)
+        self.cum_t = np.cumsum(seg_lengths) / denom
         self.cum_t[-1] = 1.0
 
     def _reparametrize(self, t: float) -> tuple[int, float]:

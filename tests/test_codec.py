@@ -129,6 +129,89 @@ def test_fit_bezier_error_bound():
     assert np.allclose(segments[-1][-1], curve[-1], atol=2)
 
 
+def test_decode_drops_onsets_inside_previous_span(tmp_path):
+    """An onset inside a spinner's span (what a noisy/untrained model emits)
+    must be dropped so the decoded file always re-parses — the reference
+    emitted it and its own parser then rejected the file."""
+    from osufusion_tpu.codec.hit import extents, flips_from_times
+
+    ft = frame_times_for(400)
+    x = np.full((TOTAL_DIM, 400), -1.0)
+    # onsets at frames 50 (spinner, sustain [50, 150)), 100 (inside), 200 (after)
+    x[BeatmapEncoding.HIT] = flips_from_times(ft[[50, 100, 200]], ft) * 2 - 1
+    x[BeatmapEncoding.SUSTAIN] = extents([(ft[50], ft[150])], ft) * 2 - 1
+    x[BeatmapEncoding.CURSOR_X :] = 0.0  # centred cursor
+
+    meta = Metadata("audio.mp3", "Overlap", "UnitTest", "OV", 4, 8, 6, 5)
+    osu_text = decode_beatmap(meta, x, ft, bpm=120.0, allow_beat_snap=False, verbose=False)
+    out = tmp_path / "overlap.osu"
+    out.write_text(osu_text, encoding="utf-8")
+    bm = Beatmap(out)  # must not raise "not in chronological order"
+    assert len(bm.hit_objects) == 2  # spinner + trailing circle; inner onset dropped
+
+
+def test_decode_clamps_slider_velocity(tmp_path):
+    """A slider whose cursor trace demands SV > 10 must be written at the
+    clamped velocity with its effective end time respected — the reference
+    wrote the raw out-of-range SV, so a parser's clamp stretched the slider
+    over later objects and the file failed to re-parse."""
+    from osufusion_tpu.codec.hit import extents, flips_from_times
+    from osufusion_tpu.osu.hit_objects import Slider
+
+    ft = frame_times_for(400)
+    x = np.full((TOTAL_DIM, 400), -1.0)
+    # slider at frame 50 sweeping the playfield in 64 ms (needs SV ~17);
+    # onset at frame 60 lands inside its clamped effective span; frame 300 after
+    x[BeatmapEncoding.HIT] = flips_from_times(ft[[50, 60, 300]], ft) * 2 - 1
+    x[BeatmapEncoding.SUSTAIN] = extents([(ft[50], ft[58])], ft) * 2 - 1
+    x[BeatmapEncoding.SLIDER] = extents([(ft[50], ft[58])], ft) * 2 - 1
+    cx = np.full(400, -1.0)
+    cx[50:59] = np.linspace(-1, 1, 9)
+    cx[59:] = 1.0
+    x[BeatmapEncoding.CURSOR_X] = cx
+    x[BeatmapEncoding.CURSOR_Y] = 0.0
+
+    meta = Metadata("audio.mp3", "Clamp", "UnitTest", "CL", 4, 8, 6, 5)
+    osu_text = decode_beatmap(meta, x, ft, allow_beat_snap=False, verbose=False)
+    out = tmp_path / "clamp.osu"
+    out.write_text(osu_text, encoding="utf-8")
+    bm = Beatmap(out)  # must re-parse despite the over-speed slider
+    sliders = [ho for ho in bm.hit_objects if isinstance(ho, Slider)]
+    assert len(sliders) == 1
+    # parsed objects never overlap: each starts at/after the previous end
+    for prev, cur in zip(bm.hit_objects, bm.hit_objects[1:]):
+        assert cur.t >= prev.end_time() - 1e-3
+
+
+def test_slider_end_time_mirrors_parser_exactly(tmp_path):
+    """SliderIR.end_t must equal the parsed Slider.end_time() bit-for-bit for
+    arbitrary sv/length/tempo — the decoder mirrors the parser's float
+    expression, so abutting onsets (t == end) are neither dropped by the
+    decoder nor rejected by the parser."""
+    from osufusion_tpu.codec.decode import SliderIR, TempoGrid, _render_osu
+    from osufusion_tpu.osu.hit_objects import Slider
+
+    rng = np.random.default_rng(7)
+    meta = Metadata("audio.mp3", "Mirror", "UnitTest", "MR", 4, 8, 6, 5)
+    for trial in range(50):
+        grid = TempoGrid(beat_length=float(rng.uniform(200.0, 700.0)), offset=0.0, snap=False)
+        sv = float(min(10.0, max(0.1, round(float(rng.uniform(0.05, 12.0)), 3))))
+        length = float(np.hypot(*rng.uniform(30, 300, size=2)))
+        slides = int(rng.integers(1, 4))
+        t = int(rng.integers(1000, 5000))
+        slide_duration = length / ((1.0 * sv) * 100) * grid.beat_length
+        end_t = int(t + slide_duration * slides)
+        ir = SliderIR(t, end_t, ((10, 20), (200, 150)), length, slides, False, sv, False)
+        osu_text = _render_osu(
+            meta, [grid.header_line(), ir.velocity_line(grid, False)], [ir.object_line()]
+        )
+        path = tmp_path / f"mirror{trial}.osu"
+        path.write_text(osu_text, encoding="utf-8")
+        bm = Beatmap(path)
+        (slider,) = [ho for ho in bm.hit_objects if isinstance(ho, Slider)]
+        assert slider.end_time() == ir.end_t, (trial, sv, length, grid.beat_length)
+
+
 def test_full_roundtrip(tmp_path):
     """encode -> decode to .osu text -> reparse -> re-encode: onset structure
     must survive (the canonical ground-truth test, SURVEY.md section 4)."""

@@ -113,6 +113,32 @@ def test_bezier_math_matches_analytic():
     assert bezier_math.curve_length(nodes) == pytest.approx(poly, rel=1e-6)
 
 
+def test_cursor_zero_length_slider(tmp_path):
+    """A zero-pixel-length slider (slide_duration == 0) parses on real corpora;
+    the cursor model must pin the cursor to its head instead of dividing by
+    the zero duration."""
+    osu = (
+        "osu file format v14\n\n[General]\nAudioFilename: audio.mp3\nMode: 0\n\n"
+        "[Metadata]\nTitle: Zero\nArtist: T\nCreator: t\nVersion: Z\n\n"
+        "[Difficulty]\nHPDrainRate: 5\nCircleSize: 4\nOverallDifficulty: 6\n"
+        "ApproachRate: 8\nSliderMultiplier: 1.4\nSliderTickRate: 1\n\n"
+        "[TimingPoints]\n1000,500,4,1,0,50,1,0\n\n"
+        "[HitObjects]\n"
+        "100,100,1000,2,0,L|100:100,1,0\n"
+        "200,200,2000,1,0,0:0:0:0:\n"
+        "50,60,3000,2,0,B|50:60|50:60|50:60,1,0\n"
+        "300,300,4000,1,0,0:0:0:0:\n"
+    )
+    p = tmp_path / "zero.osu"
+    p.write_text(osu, encoding="utf-8")
+    bm = Beatmap(p)
+    for t in (500, 1000, 1500, 2500, 3000, 3500, 4000):
+        (x, y), _ = bm.cursor(t)
+        assert abs(x) <= 512 and abs(y) <= 512, (t, x, y)
+    assert tuple(bm.cursor(1000)[0]) == (100, 100)
+    assert tuple(bm.cursor(3000)[0]) == (50, 60)
+
+
 def test_cursor_ground_truth(tmp_path):
     bm = Beatmap(write_synthetic_map(tmp_path))
     # before the first object: parked at its position
