@@ -119,7 +119,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    from osufusion_tpu.utils.cache import enable_compilation_cache
     from osufusion_tpu.utils.platform import pin_platform_from_env
 
     pin_platform_from_env()
+    enable_compilation_cache()
     main()

@@ -312,7 +312,9 @@ def parse_args() -> Config:
 
 
 if __name__ == "__main__":
+    from osufusion_tpu.utils.cache import enable_compilation_cache
     from osufusion_tpu.utils.platform import pin_platform_from_env
 
     pin_platform_from_env()
+    enable_compilation_cache()
     train(parse_args())

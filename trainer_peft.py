@@ -462,8 +462,10 @@ def parse_args():
 
 
 if __name__ == "__main__":
+    from osufusion_tpu.utils.cache import enable_compilation_cache
     from osufusion_tpu.utils.platform import pin_platform_from_env
 
     pin_platform_from_env()
+    enable_compilation_cache()
     cfg, model_path, lora_cfg, resume = parse_args()
     train(cfg, model_path, lora_cfg, resume)
