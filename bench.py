@@ -28,6 +28,13 @@ import numpy as np
 from osufusion_tpu.utils.cache import enable_compilation_cache
 
 
+def _peak_flops(device_kind: str) -> float:
+    """bf16 peak FLOP/s for the device kind string (default: v5e's 197 TF/s)."""
+    table = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12}
+    kind = device_kind.lower()
+    return next((v for k, v in table.items() if k in kind), 197e12)
+
+
 def bench_generation() -> dict:
     from osufusion_tpu.audio.constants import SR, HOP_LENGTH
     from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig
@@ -161,9 +168,7 @@ def bench_train() -> dict:
     executed_flops = train_step_flops(
         cfg.model, batch, seq, remat=cfg.model.remat, remat_mode=cfg.model.remat_mode
     )
-    peak = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12, "v4": 275e12}.get(
-        next((k for k in ("v5 lite", "v5e", "v5p", "v4") if k in jax.devices()[0].device_kind.lower()), ""), 197e12
-    )
+    peak = _peak_flops(jax.devices()[0].device_kind)
     mfu = model_flops / dt / peak * 100.0
     hfu = executed_flops / dt / peak * 100.0
     return {
@@ -281,7 +286,7 @@ def bench_fullsong_train() -> dict:
     executed_flops = train_step_flops(
         cfg.model, batch, seq, remat=cfg.model.remat, remat_mode=cfg.model.remat_mode
     )
-    peak = 197e12 if "v5" in detail["device"].lower() else 197e12
+    peak = _peak_flops(detail["device"])
     detail.update(
         {
             "steps_per_sec": round(1.0 / dt, 4),
