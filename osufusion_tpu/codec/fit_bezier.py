@@ -77,8 +77,12 @@ def fit_bezier(
     if points.shape[0] == 2:
         return [points]
 
-    # chord-length parameterization
+    # chord-length parameterization; a fully stationary trace (every point
+    # identical — cursor pinned during a slide span) has zero total chord
+    # length and no curve to fit
     u = np.cumsum(np.linalg.norm(points[1:] - points[:-1], axis=1))
+    if u[-1] == 0.0:
+        return [points[[0, -1]]]
     u = np.pad(u, (1, 0)) / u[-1]
 
     split_point = len(points) // 2

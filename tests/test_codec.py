@@ -212,6 +212,41 @@ def test_slider_end_time_mirrors_parser_exactly(tmp_path):
         assert slider.end_time() == ir.end_t, (trial, sv, length, grid.beat_length)
 
 
+def test_decode_noise_always_reparses(tmp_path):
+    """THE decoder robustness invariant: decode_beatmap output re-parses for
+    ARBITRARY model output — smooth noise drives every classification branch
+    (circles, spinners, sliders with wild velocities, overlapping onsets).
+    The reference crashes its own parser on such inputs (out-of-range SV,
+    objects inside spans); we guarantee a well-formed file."""
+    rng = np.random.default_rng(123)
+    meta = Metadata("audio.mp3", "Fuzz", "UnitTest", "FZ", 4, 8, 6, 5)
+    for trial, (n, bpm, snap) in enumerate(
+        [(700, None, False), (900, 180.0, True), (1100, None, True), (800, 240.0, False)]
+    ):
+        ft = frame_times_for(n)
+        raw = rng.standard_normal((TOTAL_DIM, n + 64))
+        # smooth so threshold crossings form plausible span structure
+        kernel = np.ones(9) / 9.0
+        x = np.stack([np.convolve(ch, kernel, mode="same") for ch in raw])[:, :n]
+        x = np.tanh(2.0 * x)
+        # correlate SLIDER with SUSTAIN and smooth the cursor so the slider
+        # classification branch (incl. extreme-velocity clamping) is hit too
+        x[BeatmapEncoding.SLIDER] = np.where(
+            x[BeatmapEncoding.SUSTAIN] > 0, np.abs(x[BeatmapEncoding.SLIDER]), x[BeatmapEncoding.SLIDER]
+        )
+        wide = np.ones(31) / 31.0
+        for ch in (BeatmapEncoding.CURSOR_X, BeatmapEncoding.CURSOR_Y):
+            x[ch] = np.convolve(np.convolve(x[ch], wide, mode="same"), wide, mode="same") * 12.0
+        x = np.clip(x, -1.0, 1.0)
+        osu_text = decode_beatmap(meta, x, ft, bpm=bpm, allow_beat_snap=snap, verbose=False)
+        out = tmp_path / f"fuzz{trial}.osu"
+        out.write_text(osu_text, encoding="utf-8")
+        bm = Beatmap(out)  # must never raise
+        assert len(bm.hit_objects) >= 1
+        for prev, cur in zip(bm.hit_objects, bm.hit_objects[1:]):
+            assert cur.t >= prev.end_time()
+
+
 def test_full_roundtrip(tmp_path):
     """encode -> decode to .osu text -> reparse -> re-encode: onset structure
     must survive (the canonical ground-truth test, SURVEY.md section 4)."""
