@@ -21,6 +21,14 @@ slider decodes to a circle only (the reference also emitted a malformed
 slider line); object times are written as integer milliseconds (the
 reference emitted raw floats its own parser rejects); combo flips that do
 not land exactly on an onset frame are ignored instead of crashing.
+
+Invariant (pinned by tests/test_codec.py's fuzz + property tests): the
+emitted file ALWAYS re-parses, for arbitrary model output. Slider velocities
+are quantized and clamped to what a parser recovers, slider end times mirror
+the parser's own float expression bit-for-bit, and onsets starting inside a
+previous object's span are dropped. The reference wrote raw out-of-range
+velocities and overlapping objects that its own parser then rejected
+(reference decode.py:231 vs beatmap.py:137).
 """
 
 from __future__ import annotations
