@@ -103,113 +103,14 @@ def models():
     return ref, ours, params
 
 
-def _resolve(path: str, sd: dict) -> str:
-    """Our param path -> the reference state_dict key."""
-    parts = path.split("/")
-    out = []
-    i = 0
-    while i < len(parts):
-        p = parts[i]
-        if p == "params":
-            pass
-        elif p == "init_x" or (p == "init_conv"):
-            out.append("init_x" if p == "init_x" else "init_conv")
-        elif p.startswith("Conv_") and out and out[-1] in ("init_x", "init_conv"):
-            out[-1] = out[-1] + f".convs.{p.split('_')[1]}"
-        elif p == "audio_encoder":
-            out.append("audio_encoder")
-        elif p.startswith("layer_"):
-            out.append(f"layers.{p.split('_')[1]}")
-        elif p.startswith("down_"):
-            out.append(f"down_layers.{p.split('_')[1]}")
-        elif p.startswith("up_"):
-            out.append(f"up_layers.{p.split('_')[1]}")
-        elif p.startswith("middle_transformer_"):
-            out.append(f"middle_transformer.{p.rsplit('_', 1)[1]}")
-        elif p in ("middle_resnet1", "middle_resnet2", "final_resnet", "init_resnet"):
-            out.append(p)
-        elif p.startswith("resnet_"):
-            out.append(f"resnets.{p.split('_')[1]}")
-        elif p.startswith("transformer_"):
-            out.append(f"transformers.{p.split('_')[1]}")
-        elif p == "sampler":
-            nxt = parts[i + 1]
-            base = ".".join(out + ["sampler"])
-            if f"{base}.conv.weight" in sd:
-                out.append("sampler.conv")
-            else:
-                out.append(f"sampler.fns.{nxt.split('_')[1]}")
-            i += 1  # consumed Conv_i
-        elif p == "Dense_0" and out and out[-1].endswith(
-            ("init_resnet", "middle_resnet1", "middle_resnet2", "final_resnet")
-        ):
-            out.append("mlp.1")
-        elif p == "Dense_0" and "resnet" in out[-1]:
-            out.append("mlp.1")
-        elif p == "FiLMBlock_0":
-            nxt = parts[i + 1]
-            out.append("block1.proj" if nxt.startswith("Conv") else "block1.norm")
-            i += 1
-        elif p == "FiLMBlock_1":
-            nxt = parts[i + 1]
-            out.append("block2.proj" if nxt.startswith("Conv") else "block2.norm")
-            i += 1
-        elif p == "GlobalContext_0":
-            nxt = parts[i + 1]
-            out.append({"Dense_0": "se.to_k", "Dense_1": "se.layers.0", "Dense_2": "se.layers.2"}[nxt])
-            i += 1
-        elif p == "Conv_0":
-            out.append("res_conv")
-        elif p == "attn":
-            out.append("attn")
-        elif p == "LayerNorm_0":
-            out.append("norm")
-        elif p in ("to_q", "to_kv", "to_out"):
-            out.append(p)
-        elif p == "ff":
-            nxt = parts[i + 1]
-            out.append("ff." + {"Dense_0": "0", "Dense_1": "2"}[nxt])
-            i += 1
-        elif p == "time_mlp":
-            nxt = parts[i + 1]
-            out.append("time_mlp." + {"Dense_0": "1", "Dense_1": "3"}[nxt])
-            i += 1
-        elif p == "cond_mlp":
-            nxt = parts[i + 1]
-            out.append("cond_mlp." + {"Dense_0": "0", "Dense_1": "2"}[nxt])
-            i += 1
-        elif p == "final_conv":
-            out.append("final_conv")
-        elif p == "null_cond":
-            return "null_cond"
-        elif p in ("kernel", "scale"):
-            out.append("weight")
-        elif p == "bias":
-            out.append("bias")
-        else:
-            raise KeyError(f"unmapped path component {p!r} in {path}")
-        i += 1
-    return ".".join(out)
-
-
 def transplant(ref, params):
-    """Copy the torch weights into the flax tree (layout-transposed)."""
+    """Copy the torch weights into the flax tree via the PRODUCTION converter
+    (utils/torch_convert.py, the engine behind convert_checkpoint.py) — the
+    parity assertions below therefore validate the migration path too."""
+    from osufusion_tpu.utils.torch_convert import convert_reference_state_dict
+
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-
-    def convert(kp, v):
-        path = "/".join(str(getattr(k, "key", k)) for k in kp)
-        key = _resolve(path, sd)
-        w = sd[key]
-        if v.ndim == 3 and w.ndim == 3:  # conv (out, in, k) -> (k, in, out)
-            w = w.transpose(2, 1, 0)
-        elif v.ndim == 2 and w.ndim == 3:  # torch 1x1 conv -> our Dense
-            w = w[:, :, 0].T
-        elif v.ndim == 2 and w.ndim == 2:  # linear (out, in) -> (in, out)
-            w = w.T
-        assert w.shape == v.shape, f"{path}: {w.shape} != {v.shape} (torch key {key})"
-        return jnp.asarray(w, v.dtype)
-
-    return jax.tree_util.tree_map_with_path(convert, params)
+    return jax.tree.map(jnp.asarray, convert_reference_state_dict(sd, params))
 
 
 def make_inputs(seed=0):
@@ -327,3 +228,31 @@ def test_input_gradient_parity(models):
     l_j, our_grad = jax.value_and_grad(loss_j)(jnp.asarray(x))
     np.testing.assert_allclose(float(l_j), float(loss_t.detach()), rtol=1e-3)
     np.testing.assert_allclose(np.asarray(our_grad), ref_grad, rtol=5e-3, atol=1e-4)
+
+
+def test_checkpoint_converter_file_roundtrip(models, tmp_path):
+    """The migration CLI's file path: a reference-style checkpoint on disk
+    (wrapper `unet.` prefix, both .safetensors and .pt containers) loads and
+    converts to exactly the tree the in-memory transplant produced."""
+    from osufusion_tpu.utils.torch_convert import (
+        convert_reference_state_dict,
+        load_torch_checkpoint,
+    )
+
+    ref, _, params = models
+    sd_t = {f"unet.{k}": v.detach().clone() for k, v in ref.state_dict().items()}
+
+    from safetensors.torch import save_file
+
+    st = tmp_path / "model.safetensors"
+    save_file({k: v.contiguous() for k, v in sd_t.items()}, str(st))
+    pt = tmp_path / "checkpoint.pt"
+    torch.save({"model_state_dict": sd_t, "step": 123}, str(pt))
+
+    for path in (st, pt):
+        sd = load_torch_checkpoint(path)
+        converted = convert_reference_state_dict(sd, params)
+        mismatch = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), converted, params
+        )
+        assert max(jax.tree.leaves(mismatch)) == 0.0, path
