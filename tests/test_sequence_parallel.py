@@ -113,14 +113,16 @@ def test_seq_parallel_train_step_matches_dp():
 
     results = []
     with pltpu.force_tpu_interpret_mode():
-        for d, s in [(2, 1), (2, 4)]:
+        # pure DP; data x seq; and the full 3-D data x seq x model mesh —
+        # all three axes composed in one step must stay a layout choice
+        for d, s, m in [(2, 1, 1), (2, 4, 1), (2, 2, 2)]:
             cfg = Config(
                 model=model_cfg,
                 diffusion=DiffusionConfig(),
                 train=TrainConfig(total_steps=10, warmup_steps=2, lr=1e-3, batch_size=B),
             )
             model = build_model(cfg.model, cfg.diffusion)
-            mesh = make_mesh(data=d, seq=s, model=1)
+            mesh = make_mesh(data=d, seq=s, model=m)
             state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
             state, _ = shard_state(state, mesh)
             step = make_train_step(model, cfg, mesh)
@@ -129,10 +131,11 @@ def test_seq_parallel_train_step_matches_dp():
                 (float(metrics["loss"]), jax.tree.map(np.asarray, jax.device_get(state.params)))
             )
 
-    (loss_dp, p_dp), (loss_sp, p_sp) = results
-    assert loss_dp == pytest.approx(loss_sp, rel=1e-4)
-    for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_sp)):
-        np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4)
+    (loss_dp, p_dp) = results[0]
+    for loss_sp, p_sp in results[1:]:
+        assert loss_dp == pytest.approx(loss_sp, rel=1e-4)
+        for a, b in zip(jax.tree.leaves(p_dp), jax.tree.leaves(p_sp)):
+            np.testing.assert_allclose(a, b, atol=5e-5, rtol=5e-4)
 
 
 def test_seq_parallel_single_shard_degenerate():
