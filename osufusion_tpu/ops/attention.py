@@ -60,27 +60,31 @@ def sdpa(
     forward-only inference path)."""
     from osufusion_tpu.ops.pallas_attention import flash_attention, flash_attention_available
     from osufusion_tpu.ops.rope import apply_rope
+    from osufusion_tpu.parallel.ring import ring_attention, ring_available
     from osufusion_tpu.parallel.sequence import seq_axis_size, seq_parallel_available, sequence_parallel_attention
 
     B, T, H, D = q.shape
     S, Kv = k.shape[1], k.shape[2]
     # sequence parallelism: when the ambient mesh (set_mesh around the jitted
-    # train step) has a seq axis and this site's window is engaged, run the
-    # halo-exchange kernels on the sequence shards instead of letting GSPMD
-    # all-gather the frame axis for a single-device kernel call. No on_tpu()
-    # gate: a seq axis only exists when the trainer built a seq mesh, and the
-    # shard_map body is per-device manual code (runs interpreted in the CPU
-    # mesh tests, compiled on real chips).
-    seq_ok = (
-        not _FORCE_XLA.get()
-        and backend in ("pallas", "auto")
-        and seq_parallel_available(T, S, D, window, seq_axis_size())
-    )
-    if seq_ok:
+    # train step) has a seq axis, keep the frame axis sharded through the
+    # attention site instead of letting GSPMD all-gather it for a
+    # single-device kernel call: the halo-exchange kernels when this site's
+    # window is engaged (O(window) ICI), the ring rotation when attention is
+    # global (O(T) ICI — every DiT layer and the UNet levels at or below the
+    # trained context). No on_tpu() gate: a seq axis only exists when the
+    # trainer built a seq mesh, and the shard_map body is per-device manual
+    # code (runs interpreted in the CPU mesh tests, compiled on real chips).
+    n_seq = 0 if _FORCE_XLA.get() or backend not in ("pallas", "auto") else seq_axis_size()
+    if n_seq > 1 and seq_parallel_available(T, S, D, window, n_seq):
         if rope is not None:
             q = apply_rope(q, *rope)
             k = apply_rope(k, *rope)
         return sequence_parallel_attention(q, k, v, window, batch_axis="data")
+    if n_seq > 1 and ring_available(T, S, D, window, n_seq):
+        if rope is not None:
+            q = apply_rope(q, *rope)
+            k = apply_rope(k, *rope)
+        return ring_attention(q, k, v, batch_axis="data")
     use_flash = not _FORCE_XLA.get() and (
         backend == "pallas"
         or (backend == "auto" and on_tpu() and flash_attention_available(T, S, D, H, Kv))

@@ -1046,6 +1046,127 @@ def halo_flash_attention(
     return _halo_attention_core(q, k_ext, v_ext, info, fold, bq, bk, window)
 
 
+# ---------------------------------------------------- sequence-parallel (ring)
+#
+# GLOBAL attention over a sequence-sharded activation — the regime the halo
+# path cannot serve (window off / wider than the sequence: every query needs
+# every key). Classic ring attention: each device keeps its q shard pinned
+# while the KV chunks rotate around the mesh axis (wrap-around ppermute, one
+# hop per step); each step runs the single-chip global forward kernel on
+# (q_local, kv_chunk) and the per-chunk outputs are merged by the EXACT
+# online-softmax rule on their base-2 LSEs — so the n-device result matches
+# the single-chip global kernel bit-for-intent, per-device memory stays
+# O(T_local * D), and the ICI traffic is the O(T) rotation (vs the halo
+# path's O(window), which is why the dispatch prefers halos whenever the
+# window is engaged; see parallel/ring.py and ops/attention.py).
+#
+# The backward is a second ring pass reusing the fused one-sweep backward
+# kernel per chunk with the GLOBAL lse/delta (which makes each chunk's
+# probabilities globally correct): dq accumulates locally across steps, while
+# the dk/dv accumulators TRAVEL WITH their chunk — after n hops each chunk's
+# accumulator arrives back at its home device holding every q shard's
+# contribution. All cross-step accumulation is f32; casts to the activation
+# dtype happen once at the end.
+
+
+def _ring_stats_to_seq(w: jnp.ndarray, B: int, T: int, H: int) -> jnp.ndarray:
+    """(B, nq*rows, 1) stats-layout weights -> (B, T, H, 1). Row r of q block
+    i is (t = i*bq + r//fold, h = r%fold), so this is a pure reshape."""
+    return w.reshape(B, T, H)[..., None]
+
+
+def _ring_fwd(q, k, v, fold, bq, bk, axis_name, n):
+    """q (B, T_local, H, D) PRE-SCALED; k/v (B, T_local, D). Returns
+    (o, lse) like _flash_fwd, with lse the GLOBAL base-2 logsumexp."""
+    B, T, H, D = q.shape
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        k_cur, v_cur, o_acc, lse_acc = carry
+        o_j, lse_j = _flash_fwd(q, k_cur, v_cur, fold, bq, bk, None)
+        # exact merge of normalized partials: o = sum_j 2^(lse_j - LSE) o_j
+        m = jnp.maximum(lse_acc, lse_j)
+        lse_new = m + jnp.log2(jnp.exp2(lse_acc - m) + jnp.exp2(lse_j - m))
+        w_acc = _ring_stats_to_seq(jnp.exp2(lse_acc - lse_new), B, T, H)
+        w_j = _ring_stats_to_seq(jnp.exp2(lse_j - lse_new), B, T, H)
+        o_acc = o_acc * w_acc + o_j.astype(jnp.float32) * w_j
+        # the final hop returns the chunks home (unused by fwd, but it keeps
+        # the step uniform; the bwd ring NEEDS all n hops for its dk/dv)
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (k_nxt, v_nxt, o_acc, lse_new), None
+
+    nq = T // bq
+    o0 = jnp.zeros((B, T, H, D), jnp.float32)
+    lse0 = jnp.full(_stats_shape(B, nq, fold * bq), NEG_INF, jnp.float32)
+    (_, _, o, lse), _ = jax.lax.scan(step, (k, v, o0, lse0), None, length=n)
+    return o.astype(q.dtype), lse
+
+
+def _ring_bwd(fold, bq, bk, axis_name, n, res, g):
+    q, k, v, o, lse = res  # lse squeezed (B, QR), base-2, GLOBAL
+    do = g
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        k_cur, v_cur, dk_cur, dv_cur, dq_acc = carry
+        dq_j, dk_j, dv_j = _flash_bwd_fused(
+            fold, bq, bk, (q, k_cur, v_cur, o, lse), (do, None)
+        )
+        dq_acc = dq_acc + dq_j.astype(jnp.float32)
+        dk_cur = dk_cur + dk_j.astype(jnp.float32)
+        dv_cur = dv_cur + dv_j.astype(jnp.float32)
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        dk_nxt = jax.lax.ppermute(dk_cur, axis_name, perm)
+        dv_nxt = jax.lax.ppermute(dv_cur, axis_name, perm)
+        return (k_nxt, v_nxt, dk_nxt, dv_nxt, dq_acc), None
+
+    dq0 = jnp.zeros(q.shape, jnp.float32)
+    dkv0 = jnp.zeros(k.shape, jnp.float32)
+    (_, _, dk, dv, dq), _ = jax.lax.scan(
+        step, (k, v, dkv0, dkv0, dq0), None, length=n
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _ring_attention_core(q, k, v, fold, bq, bk, axis_name, n):
+    o, _ = _ring_fwd(q, k, v, fold, bq, bk, axis_name, n)
+    return o
+
+
+def _ring_fwd_rule(q, k, v, fold, bq, bk, axis_name, n):
+    o, lse = _ring_fwd(q, k, v, fold, bq, bk, axis_name, n)
+    return o, (q, k, v, o, lse[..., 0])
+
+
+def _ring_bwd_rule(fold, bq, bk, axis_name, n, res, g):
+    return _ring_bwd(fold, bq, bk, axis_name, n, res, g)
+
+
+_ring_attention_core.defvjp(_ring_fwd_rule, _ring_bwd_rule)
+
+
+def ring_flash_attention_local(
+    q: jnp.ndarray,  # (B, T_local, H, D) — local query shard, RAW
+    k: jnp.ndarray,  # (B, T_local, D) — local KV chunk (MQA rank-3)
+    v: jnp.ndarray,  # (B, T_local, D)
+    axis_name: str,
+    n_shards: int,
+) -> jnp.ndarray:
+    """Per-device body for GLOBAL attention on a sequence-sharded mesh axis
+    (the shard_map caller is parallel/ring.py). The softmax/exp2 scale is
+    folded here like the single-chip path."""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    bq, bk, fold = _choose_blocks(T, S, H)
+    assert bq and bk, f"untileable ring shard T={T} S={S}; guard with ring_available"
+    q = q * jnp.asarray(D**-0.5 * LOG2E, q.dtype)
+    return _ring_attention_core(q, k, v, fold, bq, bk, axis_name, n_shards)
+
+
 # -------------------------------------------------------------- public API
 
 
