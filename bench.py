@@ -45,6 +45,7 @@ def bench_generation() -> dict:
     song_seconds = float(os.environ.get("BENCH_SONG_SECONDS", 180.0))
     steps = int(os.environ.get("BENCH_STEPS", 50))
     cfg_scale = float(os.environ.get("BENCH_CFG", 2.0))
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")  # "dpmpp-2m": same quality at ~16 steps
 
     n_frames = int(song_seconds * SR / HOP_LENGTH)
     padded = ((n_frames + LENGTH_BUCKET - 1) // LENGTH_BUCKET) * LENGTH_BUCKET
@@ -65,7 +66,9 @@ def bench_generation() -> dict:
 
     def run(seed: int) -> np.ndarray:
         x0 = jax.random.normal(jax.random.PRNGKey(seed), (1, 6, padded))
-        out = model.sample(params, a, c, x=x0, cond_scale=cfg_scale, sampling_timesteps=steps)
+        out = model.sample(
+            params, a, c, x=x0, cond_scale=cfg_scale, sampling_timesteps=steps, method=sampler
+        )
         return np.asarray(out)  # host read = sync
 
     t0 = time.perf_counter()
@@ -81,7 +84,7 @@ def bench_generation() -> dict:
     assert np.isfinite(out).all()
 
     return {
-        "metric": "fullsong_gen_latency_ddim50_cfg",
+        "metric": "fullsong_gen_latency_ddim50_cfg" if sampler == "ddim" else f"fullsong_gen_latency_{sampler}{steps}_cfg",
         "value": round(latency, 3),
         "unit": "s/map",
         "vs_baseline": round(10.0 / latency, 3),
@@ -90,6 +93,7 @@ def bench_generation() -> dict:
             "frames": padded,
             "dim_h": dim_h,
             "steps": steps,
+            "sampler": sampler,
             "cfg_scale": cfg_scale,
             "compile_s": round(compile_s, 1),
             "device": jax.devices()[0].device_kind,

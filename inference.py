@@ -25,6 +25,13 @@ def main() -> None:
     p.add_argument("--sr", type=float, default=6.0)
     p.add_argument("--num-samples", type=int, default=1)
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument(
+        "--sampler",
+        type=str,
+        default=None,
+        choices=["ddim", "dpmpp-2m", "midpoint"],
+        help="override the model's sampler; dpmpp-2m reaches DDIM quality in ~half the steps",
+    )
     p.add_argument("--cfg-scale", type=float, default=2.0)
     p.add_argument("--bpm", type=float, default=None)
     p.add_argument("--no-beat-snap", action="store_true")
@@ -46,6 +53,7 @@ def main() -> None:
         sr=args.sr,
         num_samples=args.num_samples,
         sampling_timesteps=args.steps,
+        sampler=args.sampler,
         cond_scale=args.cfg_scale,
         bpm=args.bpm,
         allow_beat_snap=not args.no_beat_snap,

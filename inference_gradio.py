@@ -41,6 +41,7 @@ def build_interface(model, params):
         sr,
         num_samples,
         steps,
+        sampler,
         cfg_scale,
         bpm,
         use_bpm,
@@ -63,6 +64,7 @@ def build_interface(model, params):
             sr=sr,
             num_samples=int(num_samples),
             sampling_timesteps=int(steps),
+            sampler=None if sampler == "model default" else sampler,
             cond_scale=cfg_scale,
             bpm=float(bpm) if use_bpm else None,
             allow_beat_snap=beat_snap,
@@ -88,6 +90,11 @@ def build_interface(model, params):
         with gr.Row():
             num_samples = gr.Slider(1, 10, value=1, step=1, label="Number of maps")
             steps = gr.Slider(1, 100, value=35, step=1, label="Sampling steps")
+            sampler = gr.Dropdown(
+                ["model default", "ddim", "dpmpp-2m"],
+                value="model default",
+                label="Sampler (dpmpp-2m: ~half the steps)",
+            )
             cfg_scale = gr.Slider(0, 15, value=2.0, label="CFG scale")
             seed = gr.Number(value=0, label="Seed", precision=0)
         with gr.Row():
@@ -97,7 +104,7 @@ def build_interface(model, params):
         out = gr.File(label="Generated .osz")
         gr.Button("Generate", variant="primary").click(
             generate,
-            inputs=[audio, title, artist, version, cs, ar, od, hp, sr, num_samples, steps, cfg_scale, bpm, use_bpm, beat_snap, seed],
+            inputs=[audio, title, artist, version, cs, ar, od, hp, sr, num_samples, steps, sampler, cfg_scale, bpm, use_bpm, beat_snap, seed],
             outputs=out,
         )
     return demo

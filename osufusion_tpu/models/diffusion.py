@@ -57,7 +57,7 @@ class DiffusionModel(GenerativeModel):
 
     # ---------------------------------------------------------------- sample
 
-    @partial(jax.jit, static_argnames=("self", "cond_scale", "sampling_timesteps"))
+    @partial(jax.jit, static_argnames=("self", "cond_scale", "sampling_timesteps", "method"))
     def sample(
         self,
         params,
@@ -67,7 +67,11 @@ class DiffusionModel(GenerativeModel):
         rng: Optional[jax.Array] = None,
         cond_scale: float = 7.0,
         sampling_timesteps: Optional[int] = None,
+        method: str = "ddim",
     ) -> jnp.ndarray:
+        """``method="ddim"`` reproduces the reference sampler; ``"dpmpp-2m"``
+        solves the same ODE with DPM-Solver++(2M) (models/dpm.py) — same
+        checkpoint, ~half the steps for the same trajectory accuracy."""
         B, _, N = a.shape
         if x is None:
             assert rng is not None, "provide either initial noise x or an rng"
@@ -75,12 +79,19 @@ class DiffusionModel(GenerativeModel):
         x = to_channel_last(x)
 
         steps = sampling_timesteps or self.cfg.sampling_timesteps
-        ts = ddim.ddim_timesteps(self.cfg.train_timesteps, steps)
-        ts_prev = np.concatenate([ts[1:], [-1]])
 
         from osufusion_tpu.ops.pallas_attention import inference_attention
 
         with inference_attention():
+            if method == "dpmpp-2m":
+                from osufusion_tpu.models.dpm import dpmpp_timesteps
+
+                ts = dpmpp_timesteps(steps, np.asarray(self.acp, np.float64))
+                return self._sample_scan_dpm(params, x, a, c, cond_scale, ts)
+            if method != "ddim":
+                raise ValueError(f"unknown sampling method: {method!r}")
+            ts = ddim.ddim_timesteps(self.cfg.train_timesteps, steps)
+            ts_prev = np.concatenate([ts[1:], [-1]])
             return self._sample_scan(params, x, a, c, cond_scale, ts, ts_prev)
 
     def _sample_scan(self, params, x, a, c, cond_scale, ts, ts_prev):
@@ -99,4 +110,26 @@ class DiffusionModel(GenerativeModel):
             return x, None
 
         x, _ = jax.lax.scan(body, x, (jnp.asarray(ts), jnp.asarray(ts_prev)))
+        return to_channel_first(x)
+
+    def _sample_scan_dpm(self, params, x, a, c, cond_scale, ts):
+        from osufusion_tpu.models.dpm import dpmpp_2m_coeffs
+
+        B = x.shape[0]
+        a_enc = self.encode_audio_cl(params, to_channel_last(a))
+        coeffs = jnp.asarray(dpmpp_2m_coeffs(ts, np.asarray(self.acp, np.float64)))
+        clip = self.cfg.clip_sample
+
+        def body(carry, row):
+            x, m1 = carry
+            t, alpha_t, sigma_t, c_x, c_d, w1 = row
+            t_b = jnp.full((B,), t, dtype=jnp.float32)
+            eps = self._cfg_eps(params, x, a_enc, t_b, c, cond_scale)
+            m0 = (x - sigma_t * eps) / alpha_t
+            if clip:
+                m0 = jnp.clip(m0, -1.0, 1.0)
+            x = c_x * x + c_d * ((1.0 + w1) * m0 - w1 * m1)
+            return (x, m0), None
+
+        (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), coeffs)
         return to_channel_first(x)

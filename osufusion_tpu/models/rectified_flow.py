@@ -60,7 +60,7 @@ class RectifiedFlowModel(GenerativeModel):
 
     # ---------------------------------------------------------------- sample
 
-    @partial(jax.jit, static_argnames=("self", "cond_scale", "sampling_timesteps"))
+    @partial(jax.jit, static_argnames=("self", "cond_scale", "sampling_timesteps", "method"))
     def sample(
         self,
         params,
@@ -70,7 +70,10 @@ class RectifiedFlowModel(GenerativeModel):
         rng: Optional[jax.Array] = None,
         cond_scale: float = DEFAULT_CFG_SCALE,
         sampling_timesteps: Optional[int] = None,
+        method: str = "midpoint",
     ) -> jnp.ndarray:
+        if method != "midpoint":
+            raise ValueError(f"rectified flow only supports method='midpoint', got {method!r}")
         B, _, N = a.shape
         if x is None:
             assert rng is not None, "provide either initial noise x or an rng"

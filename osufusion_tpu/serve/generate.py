@@ -60,6 +60,7 @@ def generate_beatmap(
     sr: float = 6.0,
     num_samples: int = 1,
     sampling_timesteps: Optional[int] = None,
+    sampler: Optional[str] = None,  # None = model default; "dpmpp-2m" halves diffusion steps
     cond_scale: float = 2.0,
     bpm: Optional[float] = None,
     allow_beat_snap: bool = True,
@@ -77,7 +78,8 @@ def generate_beatmap(
     c = jnp.asarray(np.repeat(normalize_context(np.array([cs, ar, od, hp, sr], np.float32))[None], num_samples, 0))
     x0 = jax.random.normal(jax.random.PRNGKey(seed), (num_samples, model.model_cfg.dim_in_x, padded))
 
-    out = model.sample(params, a, c, x=x0, cond_scale=cond_scale, sampling_timesteps=sampling_timesteps)
+    kw = {} if sampler is None else {"method": sampler}
+    out = model.sample(params, a, c, x=x0, cond_scale=cond_scale, sampling_timesteps=sampling_timesteps, **kw)
     signals = np.asarray(out)[..., :n]  # crop padding back off
 
     ft = frame_times(n)

@@ -22,6 +22,7 @@ run() { # name, env...
 
 run bench_train  BENCH_MODE=train
 run fullsong_train BENCH_MODE=fullsong_train
+run bench_gen_dpm BENCH_MODE=gen BENCH_SAMPLER=dpmpp-2m BENCH_STEPS=16
 # cache proof: fresh cache dir, two cold processes, same program
 CACHE=$OUT/jax_cache
 rm -rf "$CACHE"
