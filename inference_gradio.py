@@ -90,8 +90,13 @@ def build_interface(model, params):
         with gr.Row():
             num_samples = gr.Slider(1, 10, value=1, step=1, label="Number of maps")
             steps = gr.Slider(1, 100, value=35, step=1, label="Sampling steps")
+            # offer only the samplers the LOADED model supports: rectified
+            # flow integrates its own ODE (midpoint), diffusion has ddim/dpm++
+            from osufusion_tpu.models import DiffusionModel
+
+            methods = ["ddim", "dpmpp-2m"] if isinstance(model, DiffusionModel) else ["midpoint"]
             sampler = gr.Dropdown(
-                ["model default", "ddim", "dpmpp-2m"],
+                ["model default", *methods],
                 value="model default",
                 label="Sampler (dpmpp-2m: ~half the steps)",
             )

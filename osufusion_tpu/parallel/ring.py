@@ -28,11 +28,10 @@ from __future__ import annotations
 
 import functools
 
-import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
-from osufusion_tpu.parallel.sequence import seq_axis_size
+from osufusion_tpu.parallel.sequence import seq_sharded_attention
 
 
 def ring_available(t: int, s: int, d: int, window: int | None, n: int) -> bool:
@@ -70,35 +69,10 @@ def ring_attention(
     threading a Mesh through every module; ``batch_axis`` declares the batch
     dim's sharding so data parallelism composes without an all-gather. GQA
     (Kv > 1) runs one ring per KV head on its contiguous query-head slice,
-    like ``flash_attention``'s dispatch."""
-    B, T, H, D = q.shape
-    Kv = k.shape[2]
-    n = seq_axis_size(mesh, axis)
-    assert n >= 1, f"no '{axis}' axis on the active mesh"
-    if batch_axis is not None and seq_axis_size(mesh, batch_axis) == 0:
-        batch_axis = None  # mesh has no such axis (e.g. a seq-only test mesh)
-    assert T % n == 0, f"sequence {T} not divisible by {n} '{axis}' shards"
-    if Kv != 1:
-        group = H // Kv
-        outs = [
-            ring_attention(
-                q[:, :, g * group : (g + 1) * group, :],
-                k[:, :, g : g + 1, :],
-                v[:, :, g : g + 1, :],
-                mesh, axis, batch_axis,
-            )
-            for g in range(Kv)
-        ]
-        return jnp.concatenate(outs, axis=2)
+    like ``flash_attention``'s dispatch. The GQA recursion, spec
+    construction, and mesh fallbacks live in ``seq_sharded_attention``."""
 
-    body = functools.partial(_ring_local, axis_name=axis, n_shards=n)
-    seq = P(batch_axis, axis, None, None)
-    kv_spec = P(batch_axis, axis, None)
-    fn = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(seq, kv_spec, kv_spec),
-        out_specs=seq,
-        check_vma=False,
-    )
-    return fn(q, k.reshape(B, T, D), v.reshape(B, T, D))
+    def make_body(n: int):
+        return functools.partial(_ring_local, axis_name=axis, n_shards=n)
+
+    return seq_sharded_attention(make_body, q, k, v, mesh, axis, batch_axis)

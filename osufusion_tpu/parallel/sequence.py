@@ -120,6 +120,31 @@ def sequence_parallel_attention(
     mirroring `flash_attention`'s dispatch. The window must be strictly
     smaller than the sequence (otherwise windowing is off and attention is
     global — use tensor/data parallelism for that regime)."""
+    T = q.shape[1]
+    assert window < T, "window covers the whole sequence: use flash_attention"
+
+    def make_body(n: int):
+        return functools.partial(
+            _seq_attention_local,
+            window=window, axis_name=axis, n_shards=n, t_global=T,
+        )
+
+    return seq_sharded_attention(make_body, q, k, v, mesh, axis, batch_axis)
+
+
+def seq_sharded_attention(
+    make_body,
+    q: jnp.ndarray,  # (B, T, H, D)
+    k: jnp.ndarray,  # (B, T, Kv, D)
+    v: jnp.ndarray,  # (B, T, Kv, D)
+    mesh: Mesh | None = None,
+    axis: str = "seq",
+    batch_axis: str | None = None,
+) -> jnp.ndarray:
+    """Shared wrapper for the sequence-sharded attention paths (halo AND
+    ring): per-KV-head GQA recursion, the missing-batch-axis fallback, the
+    shard_map spec construction, and the rank-3 KV reshape. ``make_body(n)``
+    returns the per-device body ``(q, k3, v3) -> o`` for n sequence shards."""
     B, T, H, D = q.shape
     Kv = k.shape[2]
     n = seq_axis_size(mesh, axis)
@@ -127,28 +152,24 @@ def sequence_parallel_attention(
     if batch_axis is not None and seq_axis_size(mesh, batch_axis) == 0:
         batch_axis = None  # mesh has no such axis (e.g. a seq-only test mesh)
     assert T % n == 0, f"sequence {T} not divisible by {n} '{axis}' shards"
-    assert window < T, "window covers the whole sequence: use flash_attention"
     if Kv != 1:
         group = H // Kv
         outs = [
-            sequence_parallel_attention(
+            seq_sharded_attention(
+                make_body,
                 q[:, :, g * group : (g + 1) * group, :],
                 k[:, :, g : g + 1, :],
                 v[:, :, g : g + 1, :],
-                window, mesh, axis, batch_axis,
+                mesh, axis, batch_axis,
             )
             for g in range(Kv)
         ]
         return jnp.concatenate(outs, axis=2)
 
-    body = functools.partial(
-        _seq_attention_local,
-        window=window, axis_name=axis, n_shards=n, t_global=T,
-    )
     seq = P(batch_axis, axis, None, None)
     kv_spec = P(batch_axis, axis, None)
     fn = jax.shard_map(
-        body,
+        make_body(n),
         mesh=mesh,
         in_specs=(seq, kv_spec, kv_spec),
         out_specs=seq,

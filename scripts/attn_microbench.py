@@ -17,6 +17,7 @@ through the tunnel, CLAUDE.md).
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import time
 
@@ -63,10 +64,15 @@ def main() -> None:
         k = jnp.asarray(rng.normal(0, 1, (B, T, 1, D)), jnp.bfloat16)
         v = jnp.asarray(rng.normal(0, 1, (B, T, 1, D)), jnp.bfloat16)
 
-        fwd = jax.jit(lambda s, q, k, v: flash_attention(q * s, k, v))
+        # the scale stays in q's dtype — a f32 scalar would silently promote
+        # the whole q to f32 and time the wrong kernel; 1 + i/256 increments
+        # are exactly representable in bf16
+        fwd = jax.jit(lambda s, q, k, v: flash_attention(q * s.astype(q.dtype), k, v))
         loss = jax.jit(
             jax.grad(
-                lambda qkv, s: (flash_attention(qkv[0] * s, qkv[1], qkv[2]).astype(jnp.float32) ** 2).sum(),
+                lambda qkv, s: (
+                    flash_attention(qkv[0] * s.astype(qkv[0].dtype), qkv[1], qkv[2]).astype(jnp.float32) ** 2
+                ).sum(),
                 argnums=0,
             )
         )
@@ -74,39 +80,35 @@ def main() -> None:
         def run(fn, *xs):
             ts = []
             for i in range(args.reps):
-                s = jnp.float32(1.0 + 1e-6 * i)  # dodge the repeat-call result cache
+                s = jnp.float32(1.0 + i / 256.0)  # dodge the repeat-call result cache
                 t0 = time.perf_counter()
                 out = fn(s, *xs) if fn is fwd else fn(xs, s)
                 _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])  # host read = sync
                 ts.append(time.perf_counter() - t0)
             return min(ts[1:]) if len(ts) > 1 else ts[0]  # drop compile rep
 
-        ctx = pltpu.force_tpu_interpret_mode() if args.cpu_smoke else _nullcontext()
+        ctx = pltpu.force_tpu_interpret_mode() if args.cpu_smoke else contextlib.nullcontext()
         with ctx:
             t_fwd = run(fwd, q, k, v)
-            t_bwd = run(loss, q, k, v)
+            t_grad = run(loss, q, k, v)
 
         f_fwd = 4.0 * B * H * T * T * D
-        f_bwd = 2.5 * f_fwd  # 5 block matmuls in the fused one-sweep backward
+        # the timed grad executes the custom_vjp FORWARD rule (1.0x fwd) plus
+        # the fused one-sweep backward (5 block matmuls = 2.5x fwd)
+        f_grad = 3.5 * f_fwd
         print(
             json.dumps(
                 {
                     "shape": [B, T, H, D],
                     "fwd_ms": round(t_fwd * 1e3, 2),
                     "fwd_tfs": round(f_fwd / t_fwd / 1e12, 1),
-                    "bwd_ms": round(t_bwd * 1e3, 2),
-                    "bwd_tfs": round(f_bwd / t_bwd / 1e12, 1),
+                    "grad_ms": round(t_grad * 1e3, 2),
+                    "grad_tfs": round(f_grad / t_grad / 1e12, 1),
+                    "bwd_only_ms_est": round((t_grad - t_fwd) * 1e3, 2),
+                    "bwd_only_tfs_est": round(2.5 * f_fwd / max(t_grad - t_fwd, 1e-9) / 1e12, 1),
                 }
             )
         )
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 if __name__ == "__main__":
