@@ -193,3 +193,10 @@ def test_generate_beatmap_end_to_end(tmp_path):
     # decoded .osu must be structurally valid (template + sections)
     assert "[HitObjects]" in osu_texts[0]
     assert "osu file format v14" in osu_texts[0]
+
+    # the sampler override plumbs through serve to sample(method=): same
+    # audio through DPM-Solver++(2M) must also yield a valid .osz
+    data_dpm, texts_dpm = generate_beatmap(
+        model, params, audio, num_samples=1, sampling_timesteps=4, cond_scale=1.0, sampler="dpmpp-2m"
+    )
+    assert len(texts_dpm) == 1 and "[HitObjects]" in texts_dpm[0]
