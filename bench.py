@@ -64,16 +64,30 @@ def bench_generation() -> dict:
     a = jnp.asarray(rng.normal(-10, 3, (1, 96, padded)).astype(np.float32))
     c = jnp.asarray(rng.uniform(-1, 1, (1, 5)).astype(np.float32))
 
+    # AOT split so the artifact separates host-side tracing (pure Python,
+    # unavoidable per process) from XLA compile — the persistent compilation
+    # cache (utils/cache.py) serves the latter cross-process on the TPU
+    # backend (verified: a second cold process logs a jit_sample cache hit
+    # and compile_s collapses to blob-deserialize time).
+    x0_warm = jax.random.normal(jax.random.PRNGKey(0), (1, 6, padded))
+    t0 = time.perf_counter()
+    # the jit wrapper is a class attribute (static self): bind explicitly
+    lowered = type(model).sample.lower(
+        model, params, a, c, x=x0_warm, cond_scale=cfg_scale, sampling_timesteps=steps, method=sampler
+    )
+    trace_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compiled = lowered.compile()
+    compile_s = time.perf_counter() - t0
+
     def run(seed: int) -> np.ndarray:
         x0 = jax.random.normal(jax.random.PRNGKey(seed), (1, 6, padded))
-        out = model.sample(
-            params, a, c, x=x0, cond_scale=cfg_scale, sampling_timesteps=steps, method=sampler
-        )
+        out = compiled(params, a, c, x=x0)
         return np.asarray(out)  # host read = sync
 
     t0 = time.perf_counter()
-    run(0)  # compile + warmup
-    compile_s = time.perf_counter() - t0
+    run(0)  # warmup (device upload of params + first execute)
+    warmup_s = time.perf_counter() - t0
 
     times = []
     for seed in range(1, 3):
@@ -95,7 +109,9 @@ def bench_generation() -> dict:
             "steps": steps,
             "sampler": sampler,
             "cfg_scale": cfg_scale,
+            "trace_s": round(trace_s, 1),
             "compile_s": round(compile_s, 1),
+            "warmup_s": round(warmup_s, 1),
             "device": jax.devices()[0].device_kind,
         },
     }
@@ -118,17 +134,30 @@ def bench_train() -> dict:
     batch = int(os.environ.get("BENCH_BATCH", 4))
     seq = int(os.environ.get("BENCH_SEQ", 4096))
     steps = int(os.environ.get("BENCH_STEPS", 10))
+    # BENCH_BACKBONE=dit|mmdit benches the transformer backbones (CLI-trainable
+    # since round 3; MFU accounting via utils/flops.py model_fwd_flops)
+    backbone = os.environ.get("BENCH_BACKBONE", "unet")
+    depth = int(os.environ.get("BENCH_DEPTH", 12))
 
     full_bf16 = os.environ.get("BENCH_FULL_BF16", "1") == "1"
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
     remat_mode = os.environ.get("BENCH_REMAT_MODE", "resnet")
+    extra = {}
+    if backbone in ("dit", "mmdit"):
+        # DiT/MMDiT attention feeds the residual stream unprojected:
+        # heads * dim_head must equal dim_h (nn/dit.py)
+        extra = dict(attn_heads=dim_h // 64, attn_dim_head=64, depth=depth)
+        if backbone == "mmdit":
+            extra["attn_kv_heads"] = 2
     cfg = Config(
         model=ModelConfig(
             dim_h=dim_h,
+            backbone=backbone,
             dtype="bfloat16",
             param_dtype="bfloat16" if full_bf16 else "float32",
             remat=remat,
             remat_mode=remat_mode,
+            **extra,
         ),
         diffusion=DiffusionConfig(),
         train=TrainConfig(
@@ -164,11 +193,11 @@ def bench_train() -> dict:
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / steps
 
-    from osufusion_tpu.utils.flops import train_step_flops, unet_fwd_flops
+    from osufusion_tpu.utils.flops import model_fwd_flops, train_step_flops
 
     # Strict MFU: model FLOPs only (fwd + bwd = 3x fwd). Remat recompute is
     # overhead the config chose, NOT useful work — it goes in HFU, never MFU.
-    model_flops = 3.0 * unet_fwd_flops(cfg.model, batch, seq)
+    model_flops = 3.0 * model_fwd_flops(cfg.model, batch, seq)
     executed_flops = train_step_flops(
         cfg.model, batch, seq, remat=cfg.model.remat, remat_mode=cfg.model.remat_mode
     )
@@ -176,7 +205,7 @@ def bench_train() -> dict:
     mfu = model_flops / dt / peak * 100.0
     hfu = executed_flops / dt / peak * 100.0
     return {
-        "metric": "train_step_mfu_bf16",
+        "metric": "train_step_mfu_bf16" if backbone == "unet" else f"train_step_mfu_bf16_{backbone}",
         "value": round(mfu, 2),
         "unit": "percent_of_peak",
         "vs_baseline": round(mfu / 40.0, 3),
@@ -187,6 +216,7 @@ def bench_train() -> dict:
             "model_flops_per_step": model_flops,
             "executed_flops_per_step": executed_flops,
             "dim_h": dim_h,
+            "backbone": backbone,
             "batch": batch,
             "seq": seq,
             "compile_s": round(compile_s, 1),
@@ -284,9 +314,9 @@ def bench_fullsong_train() -> dict:
             "detail": detail,
         }
 
-    from osufusion_tpu.utils.flops import train_step_flops, unet_fwd_flops
+    from osufusion_tpu.utils.flops import model_fwd_flops, train_step_flops
 
-    model_flops = 3.0 * unet_fwd_flops(cfg.model, batch, seq)
+    model_flops = 3.0 * model_fwd_flops(cfg.model, batch, seq)
     executed_flops = train_step_flops(
         cfg.model, batch, seq, remat=cfg.model.remat, remat_mode=cfg.model.remat_mode
     )

@@ -93,7 +93,10 @@ class GenerativeModel:
             if cpu is not None:
                 with jax.default_device(cpu):
                     params = jax.jit(self.unet.init, backend="cpu")(rng, x, a, t, c, mask)
-                default = jax.devices()[0]
+                # land on a LOCAL accelerator device (in a multi-host run the
+                # global jax.devices()[0] is not addressable from process>0);
+                # shard_state then lays params onto the global mesh
+                default = jax.local_devices()[0]
                 if default != cpu:
                     params = jax.device_put(params, default)
                 return params

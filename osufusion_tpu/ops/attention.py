@@ -80,7 +80,7 @@ def sdpa(
             q = apply_rope(q, *rope)
             k = apply_rope(k, *rope)
         return sequence_parallel_attention(q, k, v, window, batch_axis="data")
-    if n_seq > 1 and ring_available(T, S, D, window, n_seq):
+    if n_seq > 1 and ring_available(T, S, D, window, n_seq, H, Kv):
         if rope is not None:
             q = apply_rope(q, *rope)
             k = apply_rope(k, *rope)

@@ -118,6 +118,25 @@ def _choose_blocks(t: int, s: int, group: int) -> tuple[int, int, int]:
         preferred_k //= 2
 
 
+def _choose_tfold(t: int, s: int) -> tuple[int, int, int]:
+    """Block choice for a SINGLE-head (H=1) GLOBAL-attention call.
+
+    A (1, bq, 1, D) q block has a unit sublane dim Mosaic pads 8-16x and
+    whose (bq, D) merge it refuses to lower — so fold consecutive TIMESTEPS
+    into the kernel's row dimension instead: the caller reshapes
+    (B, t, 1, D) -> (B, t/f, f, D) (a pure reinterpretation of seq-major
+    memory; row r of q block i = timestep i*bq*f + r) and the kernel treats
+    f timesteps as a head fold. Exact for global attention — every row is an
+    independent softmax and nothing row-position-dependent runs inside.
+    Returns (bq, bk, f) with f > 1, or (0, 0, 0) when no fold tiles."""
+    for f in (16, 8, 4, 2):
+        if t % f == 0:
+            bq, bk, _ = _choose_blocks(t // f, s, f)
+            if bq and bk:
+                return bq, bk, f
+    return 0, 0, 0
+
+
 def _span_visits(window: Optional[int], block_src: int, block_tgt: int, n_target: int) -> int:
     """Number of ``block_tgt``-wide target blocks visited per ``block_src``-wide
     source block under a +/- window/2 span, with EXACT per-offset starts.
@@ -1161,6 +1180,16 @@ def ring_flash_attention_local(
     folded here like the single-chip path."""
     B, T, H, D = q.shape
     S = k.shape[1]
+    if H == 1:
+        # full-MHA slice: timestep-fold (see _choose_tfold) — ring attention
+        # is global by construction, so the fold is exact; the core's merge
+        # math runs entirely in the folded view and unfolds for free.
+        bq, bk, fold = _choose_tfold(T, S)
+        assert fold, f"untileable ring shard T={T} S={S}; guard with ring_available"
+        q = q * jnp.asarray(D**-0.5 * LOG2E, q.dtype)
+        q = q.reshape(B, T // fold, fold, D)
+        o = _ring_attention_core(q, k, v, fold, bq, bk, axis_name, n_shards)
+        return o.reshape(B, T, H, D)
     bq, bk, fold = _choose_blocks(T, S, H)
     assert bq and bk, f"untileable ring shard T={T} S={S}; guard with ring_available"
     q = q * jnp.asarray(D**-0.5 * LOG2E, q.dtype)
@@ -1232,9 +1261,27 @@ def flash_attention(
         ]
         return jnp.concatenate(outs, axis=2)
     bq, bk, fold = _choose_blocks(T, S, H)
-    assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
     if window is not None and S <= window:
         window = None  # window covers the whole sequence: run the global path
+    tfold = 1
+    if H == 1:
+        # Full-MHA sites (DiT/MMDiT; reference dit.py:162) arrive here as
+        # per-head MQA slices: timestep-fold them (see _choose_tfold).
+        # Window masking DOES map rows to positions (via r//fold), so
+        # windowed single-head-group sites (no model family has them: UNet
+        # windowed sites are MQA/GQA with group = heads/kv_heads > 1) and
+        # untileable lengths fall back to the XLA einsum.
+        bq2, bk2, f = _choose_tfold(T, S) if window is None else (0, 0, 0)
+        if not f:
+            from osufusion_tpu.ops.attention import gqa_attention
+            if rope is not None:
+                from osufusion_tpu.ops.rope import apply_rope
+
+                q = apply_rope(q, *rope)
+                k = apply_rope(k, *rope)
+            return gqa_attention(q, k, v, window=window)
+        tfold, bq, bk, fold = f, bq2, bk2, f
+    assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
 
     scale = D**-0.5 * LOG2E
     if rope is not None and _INFERENCE.get() and T == S:
@@ -1243,22 +1290,36 @@ def flash_attention(
         # The q tables absorb the softmax/exp2 scale (tables are tiny).
         # The table blocks + rotate temporaries need VMEM headroom: halve the
         # folded rows vs the plain inference config.
-        bq = _pick_block(T, max(64, 1024 // H))
         cos, sin = rope
-        tables = (
-            # q tables: row-expanded to (T*fold, D) — row r = t*fold + h maps
-            # to table row t — and carrying the softmax/exp2 scale. Tables
-            # are trace-time constants, so XLA folds the repeat once.
-            jnp.repeat((cos * scale).astype(q.dtype), fold, axis=0),
-            jnp.repeat((sin * scale).astype(q.dtype), fold, axis=0),
-            cos.astype(k.dtype),
-            sin.astype(k.dtype),
-        )
+        if tfold > 1:
+            # timestep fold: kernel row r of q block i IS timestep
+            # i*bq*fold + r, so the plain (T, D) tables blocked at
+            # (rows, D) already line up row-for-row — no repeat.
+            bq = _pick_block(T // tfold, max(64, 1024 // tfold))
+            tables = (
+                (cos * scale).astype(q.dtype),
+                (sin * scale).astype(q.dtype),
+                cos.astype(k.dtype),
+                sin.astype(k.dtype),
+            )
+            q = q.reshape(B, T // tfold, tfold, D)
+        else:
+            bq = _pick_block(T, max(64, 1024 // H))
+            tables = (
+                # q tables: row-expanded to (T*fold, D) — row r = t*fold + h
+                # maps to table row t — and carrying the softmax/exp2 scale.
+                # Tables are trace-time constants, so XLA folds the repeat
+                # once.
+                jnp.repeat((cos * scale).astype(q.dtype), fold, axis=0),
+                jnp.repeat((sin * scale).astype(q.dtype), fold, axis=0),
+                cos.astype(k.dtype),
+                sin.astype(k.dtype),
+            )
         o, _ = _flash_fwd(
             q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window,
             fast=True, rope=tables,
         )
-        return o
+        return o.reshape(B, T, H, D) if tfold > 1 else o
     if rope is not None:
         from osufusion_tpu.ops.rope import apply_rope
 
@@ -1266,7 +1327,9 @@ def flash_attention(
         k = apply_rope(k, *rope)
 
     q = q * jnp.asarray(scale, q.dtype)
+    if tfold > 1:
+        q = q.reshape(B, T // tfold, tfold, D)
     o = _flash_attention_seqmajor(
         q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window, _INFERENCE.get()
     )
-    return o
+    return o.reshape(B, T, H, D) if tfold > 1 else o

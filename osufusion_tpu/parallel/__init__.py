@@ -1,3 +1,10 @@
+from osufusion_tpu.parallel.distributed import (
+    is_main_process,
+    make_global_batch,
+    maybe_initialize,
+    process_count,
+    process_index,
+)
 from osufusion_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
 from osufusion_tpu.parallel.ring import ring_attention, ring_available
 from osufusion_tpu.parallel.sequence import seq_parallel_available, sequence_parallel_attention
@@ -11,4 +18,9 @@ __all__ = [
     "ring_available",
     "sequence_parallel_attention",
     "seq_parallel_available",
+    "maybe_initialize",
+    "is_main_process",
+    "make_global_batch",
+    "process_count",
+    "process_index",
 ]

@@ -48,6 +48,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def host_put(tree, shardings):
+    """``jax.device_put`` onto (possibly multi-host) mesh shardings.
+
+    In a multi-process run the source arrays are committed to local devices
+    and a direct device_put would need cross-host transfers (unsupported on
+    some backends); pulling to host first makes each process upload its own
+    shards from its (identical) host copy — no communication at all.
+    Single-process: plain device_put, no host round-trip."""
+    if jax.process_count() > 1:
+        tree = jax.tree.map(np.asarray, tree)
+    return jax.device_put(tree, shardings)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) axis over the data axis, everything else replicated."""
     return NamedSharding(mesh, P("data"))

@@ -34,15 +34,21 @@ from jax.sharding import Mesh
 from osufusion_tpu.parallel.sequence import seq_sharded_attention
 
 
-def ring_available(t: int, s: int, d: int, window: int | None, n: int) -> bool:
+def ring_available(
+    t: int, s: int, d: int, window: int | None, n: int, h: int = 1, kv: int = 1
+) -> bool:
     """Can the ring path serve this site? Self-attention in the GLOBAL regime
     (window off or covering the whole sequence — the engaged-window case is
-    the halo path's job), shards that tile the flash kernel."""
-    from osufusion_tpu.ops.pallas_attention import _pick_block
+    the halo path's job), shards that tile the flash kernel. Full-MHA sites
+    (h == kv > 1, the DiT backbones) run single-head slices that the kernel
+    serves by timestep folding — the local shard must tile a fold too."""
+    from osufusion_tpu.ops.pallas_attention import _choose_tfold, _pick_block
 
     if n <= 1 or t != s or t % n != 0 or d % 64 != 0:
         return False
     if window is not None and window < t:
+        return False
+    if h == kv and h >= 1 and _choose_tfold(t // n, s // n)[2] == 0:
         return False
     return _pick_block(t // n, 512) > 0
 

@@ -293,10 +293,18 @@ class DataPipeline:
         num_workers: int = 1,
         depth: int = 4,
         start: Optional[Dict[str, int]] = None,
+        shard: Tuple[int, int] = (0, 1),
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.bucket = bucket
+        # multi-host stripe: process p of n consumes positions i with
+        # i % n == p of the SAME deterministic position stream — the analog of
+        # the reference's per-process DataLoader shard (dataset.py:88-103).
+        # Sample (epoch, i) is positionally random, so its content is
+        # identical whether produced by a sharded or unsharded pipeline.
+        self.shard_id, self.num_shards = shard
+        assert 0 <= self.shard_id < self.num_shards
         start = start or {"epoch": dataset.epoch, "index": dataset.index}
         self._state = dict(start)
         self._next_state = dict(start)
@@ -310,7 +318,8 @@ class DataPipeline:
         while True:
             order = self.dataset.epoch_order(epoch)
             while index < len(order):
-                yield epoch, index, order[index]
+                if index % self.num_shards == self.shard_id:
+                    yield epoch, index, order[index]
                 index += 1
             epoch += 1
             index = 0

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from osufusion_tpu.config import Config
 from osufusion_tpu.models.base import GenerativeModel
-from osufusion_tpu.parallel.mesh import param_shardings, replicated, zero1_shardings
+from osufusion_tpu.parallel.mesh import host_put, param_shardings, replicated, zero1_shardings
 
 
 @struct.dataclass
@@ -95,16 +95,44 @@ def shard_state(state: TrainState, mesh: Mesh, shard_opt_state: bool = True) -> 
     )
 
     shardings = TrainState(step=rep, params=p_shard, opt_state=opt_shardings, rng=rep)
-    placed = jax.device_put(state, shardings)
+    placed = host_put(state, shardings)
     return placed, shardings
 
 
-def make_train_step(model: GenerativeModel, cfg: Config, mesh: Mesh):
+def batch_shardings(mesh: Mesh, accum: int = 1) -> Tuple[NamedSharding, ...]:
+    """NamedShardings for one (x, a, c, orig_len) batch on ``mesh``.
+
+    Batch arrays: (B, ...) sharded over ``data``, or (accum, B, ...) with the
+    accum axis unsharded. With a seq axis > 1, the frame axis of x (B, 6, T)
+    and a (B, 96, T) shards over it — the attention sites then run the
+    halo-exchange kernels (parallel/sequence.py) instead of gathering T.
+    Multi-host feeding (parallel/distributed.py) lays per-process rows onto
+    these same shardings via ``make_array_from_process_local_data``.
+    """
+    lead = () if accum <= 1 else (None,)
+    if mesh.shape.get("seq", 1) > 1:
+        xa_spec = P(*lead, "data", None, "seq")
+    else:
+        xa_spec = P(*lead, "data")
+    bc_spec = P(*lead, "data")
+    sh = lambda s: NamedSharding(mesh, s)
+    return (sh(xa_spec), sh(xa_spec), sh(bc_spec), sh(bc_spec))
+
+
+def make_train_step(model: GenerativeModel, cfg: Config, mesh: Mesh, state_shardings: Optional[TrainState] = None):
     """Build the jitted sharded train step.
 
     Batch: (x, a, c, orig_len) with leading batch dim sharded over ``data``.
     Gradient accumulation (if configured) scans micro-batches INSIDE the step.
     Returns (state, metrics{loss, grad_norm, lr}).
+
+    Pass ``state_shardings`` (the tree ``shard_state`` returns) to pin the
+    output state to the input placement. Without it GSPMD is free to emit
+    params with a different sharding than they came in with (it picks
+    P("data") — a free ZeRO-3 flavor), which (a) forces a silent recompile on
+    the second step because the input signature changed, and (b) leaves
+    params non-fetchable from a single host in multi-process runs. Metrics
+    are pinned replicated so every host can read them.
     """
     tx = make_optimizer(cfg)
     lr_sched = make_lr_schedule(cfg)
@@ -156,25 +184,24 @@ def make_train_step(model: GenerativeModel, cfg: Config, mesh: Mesh):
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state, rng=rng)
         return new_state, metrics
 
-    # batch arrays: (B, ...) sharded over data, or (accum, B, ...) with accum
-    # unsharded. With a seq axis > 1, the frame axis of x (B, 6, T) and
-    # a (B, 96, T) shards over it — the attention sites then run the
-    # halo-exchange kernels (parallel/sequence.py) instead of gathering T.
+    batch_sh = batch_shardings(mesh, accum)
     seq_n = mesh.shape.get("seq", 1)
-    lead = () if accum <= 1 else (None,)
-    if seq_n > 1:
-        xa_spec = P(*lead, "data", None, "seq")
-    else:
-        xa_spec = P(*lead, "data")
-    bc_spec = P(*lead, "data")
-    sh = lambda s: NamedSharding(mesh, s)
-    batch_sh = (sh(xa_spec), sh(xa_spec), sh(bc_spec), sh(bc_spec))
 
-    jitted = jax.jit(
-        step_fn,
-        donate_argnums=(0,),
-        in_shardings=(None, batch_sh),
-    )
+    if state_shardings is not None:
+        rep = replicated(mesh)
+        metrics_sh = {"loss": rep, "grad_norm": rep, "lr": rep}
+        jitted = jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(state_shardings, batch_sh),
+            out_shardings=(state_shardings, metrics_sh),
+        )
+    else:
+        jitted = jax.jit(
+            step_fn,
+            donate_argnums=(0,),
+            in_shardings=(None, batch_sh),
+        )
     if seq_n <= 1:
         return jitted
 
@@ -185,6 +212,28 @@ def make_train_step(model: GenerativeModel, cfg: Config, mesh: Mesh):
             return jitted(state, batch)
 
     return step_with_mesh
+
+
+def replicate_params(params, mesh: Mesh):
+    """Re-place a (possibly TP/ZeRO-sharded) param tree fully replicated.
+
+    A jitted identity with replicated out_shardings: XLA emits the
+    all-gathers (a collective — in a multi-host run EVERY process must call
+    this). Used before the trainer's periodic sampling hook so ``model.sample``
+    sees whole tensors regardless of the training mesh, and before the final
+    host-side safetensors export in multi-host runs (on one process every
+    shard is addressable and ``np.asarray`` suffices). Returns numpy arrays
+    when multi-process (fully-replicated arrays are fully-addressable, so the
+    host copy is local), on-device arrays otherwise.
+    """
+    rep = replicated(mesh)
+    out_sh = jax.tree.map(lambda _: rep, params)
+    gathered = jax.jit(lambda p: p, out_shardings=out_sh)(params)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        gathered = jax.tree.map(np.asarray, gathered)
+    return gathered
 
 
 # --------------------------------------------------------------- checkpoints
@@ -221,6 +270,16 @@ def _to_saveable(state: TrainState) -> dict:
     return {"step": state.step, "params": state.params, "opt_state": state.opt_state, "rng": rng}
 
 
+def _data_state_path(project_dir: Path) -> Path:
+    """Per-process resume file: each host's pipeline walks its own stripe of
+    the position stream (train/data.py shard=), so each saves its own
+    position. Process 0 keeps the legacy name; hosts share the filesystem
+    (an Orbax requirement already)."""
+    idx = jax.process_index()
+    name = "data_state.json" if idx == 0 else f"data_state_p{idx}.json"
+    return Path(project_dir) / name
+
+
 def save_data_state(project_dir: Path, step: int, pipeline) -> None:
     """Persist the input pipeline's resume position next to the checkpoint.
 
@@ -230,7 +289,7 @@ def save_data_state(project_dir: Path, step: int, pipeline) -> None:
     import json
 
     st = {"step": step, **pipeline.state()}
-    (Path(project_dir) / "data_state.json").write_text(json.dumps(st))
+    _data_state_path(project_dir).write_text(json.dumps(st))
 
 
 def load_data_state(project_dir: Path, current_step: int) -> Optional[dict]:
@@ -238,7 +297,7 @@ def load_data_state(project_dir: Path, current_step: int) -> Optional[dict]:
     if absent or recorded at a different step."""
     import json
 
-    p = Path(project_dir) / "data_state.json"
+    p = _data_state_path(project_dir)
     if not p.exists():
         return None
     st = json.loads(p.read_text())

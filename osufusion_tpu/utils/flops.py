@@ -1,4 +1,4 @@
-"""Analytic FLOP counting for the UNet denoiser.
+"""Analytic FLOP counting for the denoiser backbones (UNet, DiT, MMDiT).
 
 XLA's ``cost_analysis`` excludes custom-call (Pallas) FLOPs, so MFU computed
 from it under-reports. This walks the architecture and counts matmul/conv
@@ -158,14 +158,88 @@ def unet_remat_recompute_flops(
     return total
 
 
+# ------------------------------------------------- transformer backbones
+
+
+def _cross_embed_flops(B: int, T: int, dim_in: int, dim_out: int, kernels=(3, 7, 15)) -> float:
+    """Exact CrossEmbed stem cost with the reference's input-dim channel split
+    (nn/blocks.py CrossEmbedLayer)."""
+    ks = sorted(kernels)
+    scales = [dim_in // (2**i) for i in range(1, len(ks))]
+    scales = [*scales, dim_out - sum(scales)]
+    if scales[-1] <= 0:  # small-model fallback split (output-dim halving)
+        scales = [dim_out // (2**i) for i in range(1, len(ks))]
+        scales = [*scales, dim_out - sum(scales)]
+    return sum(_conv(B, T, dim_in, s, k) for s, k in zip(scales, ks))
+
+
+def dit_fwd_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
+    """Forward FLOPs of one DiT call (nn/dit.py; reference dit.py:162)."""
+    B, T, h = batch, seq, cfg.dim_h
+    total = _cross_embed_flops(B, T, cfg.dim_in_x + cfg.dim_in_a, h, cfg.cross_embed_kernel_sizes)
+    # conditioning mlps (B x 1 rows — negligible but counted)
+    total += _dense(B, 1, cfg.dim_in_a * 2, h) + 2 * _dense(B, 1, h, h)  # audio pool + mlp
+    total += 2 * _dense(B, 1, h, h)  # time mlp
+    total += _dense(B, 1, cfg.dim_in_c, h) + _dense(B, 1, h, h)  # cond mlp
+    per_block = (
+        _dense(B, 1, h, h * 6)  # adaLN modulation
+        + _dense(B, T, h, h * 3)  # to_qkv
+        + 4.0 * B * cfg.attn_heads * T * T * cfg.attn_dim_head  # global MHA
+        + _dense(B, T, h, h * 4)
+        + _dense(B, T, h * 4, h)  # ff mult 4
+    )
+    total += cfg.depth * per_block
+    total += _dense(B, 1, h, h * 2) + _dense(B, T, h, h)  # final adaLN + linear
+    total += _dense(B, T, h, cfg.dim_in_x)  # postprocess
+    return total
+
+
+def mmdit_fwd_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
+    """Forward FLOPs of one MMDiT call (nn/mmdit.py; reference mmdit.py:241)."""
+    B, T, h, p = batch, seq, cfg.dim_h, cfg.patch_size
+    Tp = -(-T // p)  # tokens per stream
+    S = 2 * Tp  # packed joint sequence
+    kv = max(cfg.attn_kv_heads, 2)
+    total = _conv(B, Tp, cfg.dim_in_x, h, p) + _conv(B, Tp, cfg.dim_in_a, h, p)  # patch embeds
+    total += _dense(B, 1, cfg.dim_in_a * 2, h) + 2 * _dense(B, 1, h, h * 4)  # audio pool + FF
+    total += 2 * _dense(B, 1, h, h * 4)  # time FF (approx: 4h inner both legs)
+    total += _dense(B, 1, cfg.dim_in_c, h) + 2 * _dense(B, 1, h, h * 4)  # cond in + FF
+    q_dim = cfg.attn_heads * cfg.attn_dim_head
+    kv_dim = kv * cfg.attn_dim_head
+    per_block = (
+        2 * _dense(B, 1, h, h * 6)  # modulation_x + modulation_a
+        + 2 * (_dense(B, Tp, h, q_dim) + 2 * _dense(B, Tp, h, kv_dim))  # q/k/v both streams
+        + 4.0 * B * cfg.attn_heads * S * S * cfg.attn_dim_head  # joint global attention
+        + 2 * _dense(B, Tp, q_dim, h)  # attn_out_x / attn_out_a
+        + 2 * (_dense(B, Tp, h, h * 4) + _dense(B, Tp, h * 4, h))  # mlp_x / mlp_a
+    )
+    total += cfg.depth * per_block
+    total += _dense(B, 1, h, h * 2) + _dense(B, Tp, h, p * h)  # final adaLN + linear
+    total += _dense(B, T, h, cfg.dim_in_x)  # out
+    return total
+
+
+def model_fwd_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
+    """Forward FLOPs of one denoiser call, dispatched on the backbone."""
+    if cfg.backbone == "dit":
+        return dit_fwd_flops(cfg, batch, seq)
+    if cfg.backbone == "mmdit":
+        return mmdit_fwd_flops(cfg, batch, seq)
+    return unet_fwd_flops(cfg, batch, seq)
+
+
 def train_step_flops(
     cfg: ModelConfig, batch: int, seq: int, remat: bool = True, remat_mode: str = "save-attn"
 ) -> float:
     """Executed FLOPs of one train step: fwd + bwd (2x fwd) + the remat
     recompute the configured mode actually performs."""
-    fwd = unet_fwd_flops(cfg, batch, seq)
+    fwd = model_fwd_flops(cfg, batch, seq)
     if not remat:
         return fwd * 3.0
+    if cfg.backbone in ("dit", "mmdit"):
+        # transformer remat is whole-block (nn.remat around DiTBlock/MMDiTBlock):
+        # the backward re-runs every block forward; stems/heads are not rematted
+        return fwd * 4.0
     if remat_mode == "block":
         return fwd * 4.0
     return fwd * 3.0 + unet_remat_recompute_flops(cfg, batch, seq, remat_mode)

@@ -9,13 +9,16 @@ UNet tree: name translation (`resolve_reference_key`) plus layout transposes
 (torch conv ``(out, in, k)`` -> flax ``(k, in, out)``; torch linear
 ``(out, in)`` -> flax ``(in, out)``; torch 1x1 conv -> flax Dense).
 
-The mapping covers the UNet backbone — the only backbone the reference's
-CLIs can train (its DiT/MMDiT are orphans, SURVEY.md §2.4), hence the only
-kind of reference checkpoint that exists.
+The mapping covers all three backbones: the UNet (the only backbone the
+reference's CLIs can train) plus the DiT and MMDiT (orphan alt backbones in
+the reference, SURVEY.md §2.4, trainable here — mapped so weights transplant
+both ways for parity testing and for anyone who trained one by editing the
+reference).
 
 Continuously validated: tests/test_torch_parity.py builds the reference
 torch UNet, converts its live ``state_dict()`` through these exact
-functions, and pins forward/gradient agreement with the flax model.
+functions, and pins forward/gradient agreement with the flax model;
+tests/test_torch_parity_transformers.py does the same for DiT and MMDiT.
 """
 
 from __future__ import annotations
@@ -51,9 +54,9 @@ def resolve_reference_key(path: str, sd: Dict[str, Any]) -> str:
         p = parts[i]
         if p == "params":
             pass
-        elif p == "init_x" or (p == "init_conv"):
-            out.append("init_x" if p == "init_x" else "init_conv")
-        elif p.startswith("Conv_") and out and out[-1] in ("init_x", "init_conv"):
+        elif p in ("init_x", "init_conv", "preprocess"):
+            out.append(p)
+        elif p.startswith("Conv_") and out and out[-1] in ("init_x", "init_conv", "preprocess"):
             out[-1] = out[-1] + f".convs.{p.split('_')[1]}"
         elif p == "audio_encoder":
             out.append("audio_encoder")
@@ -121,6 +124,61 @@ def resolve_reference_key(path: str, sd: Dict[str, Any]) -> str:
             out.append("final_conv")
         elif p == "null_cond":
             return "null_cond"
+        # ------------------------------------------------ DiT (reference dit.py)
+        elif p.startswith("block_"):
+            out.append(f"blocks.{p.split('_')[1]}")
+        elif p in ("mlp_audio_0", "mlp_audio_1"):
+            out.append("mlp_audio." + ("0" if p.endswith("0") else "2"))
+        elif p in ("mlp_time_0", "mlp_time_1"):
+            out.append("mlp_time." + ("1" if p.endswith("0") else "3"))
+        elif p in ("mlp_cond_0", "mlp_cond_1"):
+            out.append("mlp_cond." + ("0" if p.endswith("0") else "2"))
+        elif p == "feature_extractor_a":
+            out.append("feature_extractor_a")
+        elif p in ("modulation", "modulation_x", "modulation_a"):
+            out.append(f"{p}.1")  # Sequential(SiLU, Linear): params live at [1]
+        elif p == "to_qkv":
+            out.append("to_qkv")
+        elif p in ("q_norm", "k_norm", "q_x_norm", "k_x_norm", "q_a_norm", "k_a_norm"):
+            out.append(p)
+        elif p == "gamma":
+            out.append("gamma")
+        elif p == "final":
+            nxt = parts[i + 1]
+            out.append("final." + ("modulation.1" if nxt == "modulation" else "linear"))
+            i += 1
+        elif p == "postprocess":
+            out.append("postprocess")
+        # --------------------------------------------- MMDiT (reference mmdit.py)
+        elif p in ("emb_x", "emb_a"):
+            out.append(f"{p}.proj")
+            if parts[i + 1].startswith("Conv_"):
+                i += 1  # our PatchEmbedding holds one anonymous Conv_0
+        elif p in ("mlp_x", "mlp_a"):
+            nxt = parts[i + 1]
+            out.append(f"{p}." + {"Dense_0": "0", "Dense_1": "2"}[nxt])
+            i += 1
+        elif p == "mlp_time":
+            nxt = parts[i + 1]
+            out.append("mlp_time.1." + {"Dense_0": "0", "Dense_1": "2"}[nxt])
+            i += 1
+        elif p == "mlp_cond_in":
+            out.append("mlp_cond.0")
+        elif p == "mlp_cond":
+            nxt = parts[i + 1]
+            out.append("mlp_cond.1." + {"Dense_0": "0", "Dense_1": "2"}[nxt])
+            i += 1
+        elif p in ("attn_out_x", "attn_out_a"):
+            out.append(p)
+        elif p.startswith("to_") and p.endswith(("_x", "_a")):
+            out.append(p)  # to_{q,k,v}_{x,a}
+        elif p == "final_modulation":
+            out.append("final_layer.modulation.1")
+        elif p == "final_linear":
+            out.append("final_layer.linear")
+        elif p == "out":
+            out.append("out")
+        # -------------------------------------------------------------- leaves
         elif p in ("kernel", "scale"):
             out.append("weight")
         elif p == "bias":
@@ -142,7 +200,10 @@ def convert_reference_state_dict(sd: Dict[str, np.ndarray], params_like: Any) ->
         if key not in sd:
             raise KeyError(f"reference checkpoint is missing {key!r} (for our {path})")
         w = np.asarray(sd[key])
-        if v.ndim == 3 and w.ndim == 3:  # torch conv (out, in, k) -> flax (k, in, out)
+        if key.endswith("gamma") and w.ndim == 3:
+            # MultiHeadRMSNorm gamma: torch (heads, 1, dim) -> ours (heads, dim)
+            w = w[:, 0, :]
+        elif v.ndim == 3 and w.ndim == 3:  # torch conv (out, in, k) -> flax (k, in, out)
             w = w.transpose(2, 1, 0)
         elif v.ndim == 2 and w.ndim == 3:  # torch 1x1 conv -> flax Dense
             w = w[:, :, 0].T

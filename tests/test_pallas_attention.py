@@ -225,6 +225,67 @@ def test_inference_fast_path_close_to_exact():
     assert err < 0.02, f"fast-path error too large: {err}"
 
 
+def test_full_mha_timestep_fold_matches_naive():
+    """Full-MHA sites (H == Kv, the DiT/MMDiT backbones) reach the kernel as
+    per-head H=1 slices; a (1, bq, 1, D) block would leave the MXU row dim at
+    1, so the kernel folds consecutive TIMESTEPS into the row dimension
+    instead (_choose_tfold). Exact for global attention."""
+    q, k, v = make_qkv(B=2, T=512, H=4, Kv=4)
+    assert pa._choose_tfold(512, 512)[2] > 1, "shapes no longer exercise the fold"
+    with pltpu.force_tpu_interpret_mode():
+        out_flash = pa.flash_attention(q, k, v)
+    out_naive = gqa_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_naive), atol=2e-5, rtol=2e-5)
+
+
+def test_full_mha_timestep_fold_backward():
+    q, k, v = make_qkv(B=1, T=512, H=4, Kv=4)
+
+    def loss_flash(q, k, v):
+        return (pa.flash_attention(q, k, v) * 0.01).sum()
+
+    def loss_naive(q, k, v):
+        return (gqa_attention(q, k, v) * 0.01).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for gf, gn, name in zip(g_flash, g_naive, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gn), atol=5e-5, rtol=5e-4, err_msg=f"d{name} mismatch"
+        )
+
+
+def test_full_mha_fused_rope_inference():
+    """Timestep-folded inference path with in-kernel rotary embedding: the
+    plain (T, D) tables must line up with folded rows without the per-head
+    row expansion the head-fold path needs."""
+    from osufusion_tpu.ops.pallas_attention import inference_attention
+    from osufusion_tpu.ops.rope import apply_rope, rope_tables
+
+    q, k, v = make_qkv(B=1, T=512, H=4, Kv=4, dtype=jnp.bfloat16)
+    tables = rope_tables(512, 64, scale_base=512.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        exact = pa.flash_attention(apply_rope(q, *tables), apply_rope(k, *tables), v)
+        with inference_attention():
+            fused = pa.flash_attention(q, k, v, rope=tables)
+    err = np.abs(np.asarray(fused, np.float32) - np.asarray(exact, np.float32)).max()
+    assert err < 0.03, f"fused-rope full-MHA error too large: {err}"
+
+
+def test_full_mha_windowed_falls_back_correctly():
+    """Window masking maps kernel rows to positions, which a timestep fold
+    would scramble — windowed H=1 slices must take the XLA fallback and stay
+    exact."""
+    q, k, v = make_qkv(B=1, T=512, H=4, Kv=4)
+    window = 128
+    with pltpu.force_tpu_interpret_mode():
+        out = pa.flash_attention(q, k, v, window=window)
+    ref = gqa_attention(q, k, v, window=window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_fused_rope_inference_matches_xla_rope():
     """The in-kernel rotary embedding of the forward-only path matches the
     XLA-side apply_rope + exact kernel within bf16-level error."""

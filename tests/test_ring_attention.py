@@ -66,6 +66,32 @@ def test_ring_gqa():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+def test_ring_full_mha_timestep_fold():
+    """Full-MHA (H == Kv, the DiT backbones) ring shards run per-head H=1
+    slices that the kernel serves by folding timesteps into the row dim —
+    fwd AND bwd must match the single-chip global kernel."""
+    q, k, v = make_qkv(T=512, H=4, Kv=4, seed=3)
+    mesh = seq_mesh(2)
+    assert ring_available(512, 512, 64, None, 2, 4, 4)
+
+    def loss_ring(q, k, v):
+        return (ring_attention(q, k, v, mesh) * 0.01).sum()
+
+    def loss_ref(q, k, v):
+        return (pa.flash_attention(q, k, v) * 0.01).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        ref = pa.flash_attention(q, k, v)
+        got = ring_attention(q, k, v, mesh)
+        g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+    for gs, gr, name in zip(g_ring, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gr), atol=5e-5, rtol=5e-4, err_msg=f"d{name} mismatch"
+        )
+
+
 def test_ring_availability_rules():
     # engaged window -> halo's job, ring refuses
     assert not ring_available(512, 512, 64, 128, 4)

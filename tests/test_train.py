@@ -441,9 +441,68 @@ def test_sample_step_pads_to_flash_tileable_length(tmp_path, monkeypatch):
     model = build_model(cfg.model, cfg.diffusion)
     state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
     logger = MetricLogger(tmp_path)
-    sample_step(model, state, wav, tmp_path, logger, step=7, cfg=cfg)
+    sample_step(model, state.params, wav, tmp_path, logger, step=7, cfg=cfg)
     logger.close()
     assert (tmp_path / "sample_7.png").exists()
+
+
+def test_sample_step_from_sharded_3d_mesh_state(tmp_path, monkeypatch):
+    """The trainer's periodic sampling hook must survive a 3-D
+    data x seq x model training mesh: params are TP-sharded, optimizer
+    moments ZeRO-sharded, and the ambient seq mesh routes attention through
+    the ring kernels during training. The hook's contract (trainer.py):
+    ``replicate_params`` gathers whole tensors (a collective), then
+    ``sample_step`` renders from them. Reference analog: periodic sampling
+    during distributed training (reference trainer.py:98-140)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+    from scipy.io import wavfile
+
+    import osufusion_tpu.serve.generate as G
+    from osufusion_tpu.audio.constants import SR
+    from osufusion_tpu.train.loop import replicate_params
+    from osufusion_tpu.utils.logging import MetricLogger
+    from trainer import sample_step
+
+    # dim_head=64 (sharded-kernel lane width); ctx = T so the global sites
+    # take the RING path during the train step (same recipe as dryrun leg 3)
+    model_cfg = dataclasses.replace(
+        TINY_MODEL, attn_dim_head=64, attn_heads=2, attn_context_len=256
+    )
+    cfg = Config(
+        model=model_cfg,
+        diffusion=DiffusionConfig(sampling_timesteps=2, cfg_scale=2.0),
+        train=TrainConfig(
+            total_steps=1, warmup_steps=1, lr=1e-3, batch_size=2,
+            mesh_data=2, mesh_seq=2, mesh_model=2,
+        ),
+    )
+    mesh = make_mesh(data=2, seq=2, model=2)
+    model = build_model(cfg.model, cfg.diffusion)
+    with pltpu.force_tpu_interpret_mode():
+        state = init_state(model, cfg, jax.random.PRNGKey(0), seq_len=64)
+        state, state_sh = shard_state(state, mesh)
+        step = make_train_step(model, cfg, mesh, state_shardings=state_sh)
+        state, metrics = step(state, np_batch(B=2, N=256))
+    assert np.isfinite(float(metrics["loss"]))
+    # params really are TP-sharded before the gather
+    q_kernels = [
+        v for kp, v in jax.tree_util.tree_flatten_with_path(state.params)[0]
+        if "to_q" in "/".join(str(getattr(k, "key", k)) for k in kp)
+    ]
+    assert any("model" in str(k.sharding.spec) for k in q_kernels)
+
+    tone = np.sin(2 * np.pi * 440 * np.arange(int(SR * 1.7)) / SR).astype(np.float32)
+    wav = tmp_path / "song.wav"
+    wavfile.write(wav, SR, (tone * 32767).astype(np.int16))
+    monkeypatch.setattr(G, "LENGTH_BUCKET", 128)
+
+    sample_params = replicate_params(state.params, mesh)
+    logger = MetricLogger(tmp_path)
+    sample_step(model, sample_params, wav, tmp_path, logger, step=3, cfg=cfg)
+    logger.close()
+    assert (tmp_path / "sample_3.png").exists()
 
 
 def test_fp8_conv_dot_matches_exact():

@@ -20,12 +20,15 @@ import numpy as np
 from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
 from osufusion_tpu.models import build_model
 from osufusion_tpu.parallel import make_mesh
+from osufusion_tpu.parallel.distributed import is_main_process, make_global_batch
 from osufusion_tpu.train import data as D
 from osufusion_tpu.train.loop import (
+    batch_shardings,
     checkpoint_manager,
     init_state,
     load_data_state,
     make_train_step,
+    replicate_params,
     restore_checkpoint,
     save_checkpoint,
     save_data_state,
@@ -45,7 +48,7 @@ def save_model_safetensors(params, path: Path) -> None:
     save_file(tensors, str(path))
 
 
-def sample_step(model, state, audio_path: Path, project_dir: Path, logger, step: int, cfg: Config) -> None:
+def sample_step(model, params, audio_path: Path, project_dir: Path, logger, step: int, cfg: Config) -> None:
     """Fixed-seed periodic sample rendered to a channel plot
     (reference trainer.py:98-140).
 
@@ -71,7 +74,7 @@ def sample_step(model, state, audio_path: Path, project_dir: Path, logger, step:
     x0 = jax.random.normal(jax.random.PRNGKey(0), (1, cfg.model.dim_in_x, padded))
     generated = np.asarray(
         model.sample(
-            state.params,
+            params,
             a,
             c,
             x=x0,
@@ -91,20 +94,26 @@ def sample_step(model, state, audio_path: Path, project_dir: Path, logger, step:
 
 
 def train(cfg: Config) -> None:
-    print("Initializing...")
+    # multi-host: mesh/devices are GLOBAL, host-side effects are process-0's
+    # (reference trainer.py:321 via Accelerate; parallel/distributed.py)
+    main = is_main_process()
+    n_proc = jax.process_count()
+    say = print if main else (lambda *a, **k: None)
+    say("Initializing...")
     project_dir = Path(cfg.train.project_dir)
     project_dir.mkdir(parents=True, exist_ok=True)
-    cfg.save(project_dir / "config.json")
+    if main:
+        cfg.save(project_dir / "config.json")
 
     mesh = make_mesh(cfg.train.mesh_data, cfg.train.mesh_model, cfg.train.mesh_seq)
-    print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
+    say(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s), {n_proc} process(es)")
 
     model = build_model(cfg.model, cfg.diffusion)
     state = init_state(model, cfg, jax.random.PRNGKey(cfg.train.seed))
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
-    print(f"model: {cfg.diffusion.objective} dim_h={cfg.model.dim_h} ({n_params/1e6:.1f}M params)")
-    state, _ = shard_state(state, mesh, shard_opt_state=cfg.train.shard_opt_state)
-    step_fn = make_train_step(model, cfg, mesh)
+    say(f"model: {cfg.diffusion.objective} dim_h={cfg.model.dim_h} ({n_params/1e6:.1f}M params)")
+    state, state_sh = shard_state(state, mesh, shard_opt_state=cfg.train.shard_opt_state)
+    step_fn = make_train_step(model, cfg, mesh, state_shardings=state_sh)
 
     mngr = checkpoint_manager(project_dir, cfg.train.max_num_checkpoints)
     if cfg.train.resume is not None:
@@ -113,9 +122,9 @@ def train(cfg: Config) -> None:
             import jax.numpy as jnp
 
             state = state.replace(step=jnp.zeros((), jnp.int32))
-        print(f"resumed at step {int(state.step)}")
+        say(f"resumed at step {int(state.step)}")
 
-    print("Loading dataset...")
+    say("Loading dataset...")
     paths = sorted(Path(cfg.train.dataset_dir).rglob("*.map.npz")) if cfg.train.dataset_mode != "dummy" else []
     if cfg.train.max_length > 0 and paths:
         paths = D.filter_dataset(paths, cfg.train.max_length)
@@ -129,32 +138,43 @@ def train(cfg: Config) -> None:
     )
     accum = cfg.train.gradient_accumulation_steps
     bucket = min(D.BUCKET, max(64, cfg.train.segment_length))
+    # cfg.train.batch_size is the GLOBAL batch across the whole mesh; each
+    # process materializes only its rows, striding the deterministic position
+    # stream by process (reference: Accelerate's per-process DataLoader shard)
+    assert cfg.train.batch_size % n_proc == 0, (
+        f"global batch {cfg.train.batch_size} not divisible by {n_proc} processes"
+    )
+    local_bs = cfg.train.batch_size // n_proc
     data_state = load_data_state(project_dir, current_step=int(state.step)) if cfg.train.resume else None
     batches = D.DataPipeline(
         dataset,
-        cfg.train.batch_size * max(1, accum),
+        local_bs * max(1, accum),
         bucket=bucket,
         num_workers=cfg.train.num_workers,
         start=data_state,
+        shard=(jax.process_index(), n_proc),
     )
+    b_shardings = batch_shardings(mesh, accum)
 
-    logger = MetricLogger(project_dir)
+    logger = MetricLogger(project_dir, enabled=main)
     losses: list[float] = []
     current_step = int(state.step)
 
-    print("Training...")
+    say("Training...")
     t_last = time.time()
     while current_step < cfg.train.total_steps:
         batch = next(batches)
         if accum > 1:
             x, a, c, ol = batch
-            B = cfg.train.batch_size
+            B = local_bs
             batch = (
                 x.reshape(accum, B, *x.shape[1:]),
                 a.reshape(accum, B, *a.shape[1:]),
                 c.reshape(accum, B, *c.shape[1:]),
                 ol.reshape(accum, B),
             )
+        if n_proc > 1:
+            batch = make_global_batch(batch, b_shardings)
         state, metrics = step_fn(state, batch)
         current_step = int(state.step)
 
@@ -166,7 +186,7 @@ def train(cfg: Config) -> None:
 
         dt = time.time() - t_last
         t_last = time.time()
-        print(
+        say(
             f"step {current_step} loss={loss:.5f} avg={avg_loss:.5f} "
             f"norm={float(metrics['grad_norm']):.4f} lr={float(metrics['lr']):.2e} ({dt:.2f}s)",
             flush=True,
@@ -187,13 +207,22 @@ def train(cfg: Config) -> None:
             and cfg.train.sample_audio is not None
             and Path(cfg.train.sample_audio).exists()
         ):
-            print("Sampling...")
-            sample_step(model, state, Path(cfg.train.sample_audio), project_dir, logger, current_step, cfg)
+            say("Sampling...")
+            # collective param all-gather (EVERY process), then the render is
+            # process-0's: sampling sees whole tensors whatever the training
+            # mesh (TP/ZeRO/seq sharding) was
+            sample_params = replicate_params(state.params, mesh)
+            if main:
+                sample_step(
+                    model, sample_params, Path(cfg.train.sample_audio), project_dir, logger, current_step, cfg
+                )
 
     mngr.wait_until_finished()
-    save_model_safetensors(state.params, project_dir / "model.safetensors")
+    final_params = replicate_params(state.params, mesh) if n_proc > 1 else state.params
+    if main:
+        save_model_safetensors(final_params, project_dir / "model.safetensors")
     logger.close()
-    print("Done.")
+    say("Done.")
 
 
 def parse_args() -> Config:
@@ -250,6 +279,11 @@ def parse_args() -> Config:
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--mesh-seq", type=int, default=1)
+    # multi-host launch (reference: `accelerate launch` multi-node args;
+    # parallel/distributed.py — also settable via OSUFUSION_* env vars)
+    p.add_argument("--coordinator", type=str, default=None, help="host:port of process 0")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args()
 
     if args.dummy_dataset:
@@ -308,13 +342,17 @@ def parse_args() -> Config:
         mesh_model=args.mesh_model,
         mesh_seq=args.mesh_seq,
     )
-    return Config(model=model, diffusion=diffusion, train=train_cfg)
+    cfg = Config(model=model, diffusion=diffusion, train=train_cfg)
+    return cfg, (args.coordinator, args.num_processes, args.process_id)
 
 
 if __name__ == "__main__":
+    from osufusion_tpu.parallel.distributed import maybe_initialize
     from osufusion_tpu.utils.cache import enable_compilation_cache
     from osufusion_tpu.utils.platform import pin_platform_from_env
 
     pin_platform_from_env()
+    _cfg, _dist = parse_args()
+    maybe_initialize(*_dist)  # before any backend/device use
     enable_compilation_cache()
-    train(parse_args())
+    train(_cfg)

@@ -29,10 +29,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from osufusion_tpu.config import Config, DiffusionConfig, ModelConfig, TrainConfig
 from osufusion_tpu.models import build_model
 from osufusion_tpu.parallel import make_mesh
-from osufusion_tpu.parallel.mesh import param_shardings, replicated, zero1_shardings
+from osufusion_tpu.parallel.distributed import is_main_process, make_global_batch
+from osufusion_tpu.parallel.mesh import host_put, param_shardings, replicated, zero1_shardings
 from osufusion_tpu.peft import LoraConfig, apply_lora, count_lora_params, init_lora, merge_lora
 from osufusion_tpu.train import data as D
-from osufusion_tpu.train.loop import load_data_state, make_lr_schedule, save_data_state
+from osufusion_tpu.train.loop import (
+    batch_shardings,
+    load_data_state,
+    make_lr_schedule,
+    replicate_params,
+    save_data_state,
+)
 from osufusion_tpu.utils.logging import MetricLogger
 from osufusion_tpu.utils.serialization import load_safetensors, save_safetensors
 
@@ -45,9 +52,9 @@ def shard_peft(base_params, adapters, opt_state, mesh: Mesh):
     chip needs them each step, so replication beats gathering. Optimizer
     moments: ZeRO-1 over ``data``.
     """
-    base_params = jax.device_put(base_params, param_shardings(base_params, mesh))
+    base_params = host_put(base_params, param_shardings(base_params, mesh))
     rep = replicated(mesh)
-    adapters = jax.device_put(adapters, jax.tree.map(lambda _: rep, adapters))
+    adapters = host_put(adapters, jax.tree.map(lambda _: rep, adapters))
     adapter_struct = jax.tree_util.tree_structure(adapters)
 
     def handle_opt(node):
@@ -96,13 +103,24 @@ def make_peft_step(model, lora_cfg: LoraConfig, tx, mesh: Mesh, accum: int = 1):
         adapters = optax.apply_updates(adapters, updates)
         return adapters, opt_state, rng, loss, grad_norm
 
-    spec = P("data") if accum <= 1 else P(None, "data")
-    batch_sh = NamedSharding(mesh, spec)
     return jax.jit(
         step,
         donate_argnums=(0, 1),
-        in_shardings=(None, None, None, None, (batch_sh, batch_sh, batch_sh, batch_sh)),
+        in_shardings=(None, None, None, None, batch_shardings(mesh, accum)),
     )
+
+
+def _overlay_replicated(overlay_fn, base_params, adapters, lora_cfg: LoraConfig, mesh: Mesh):
+    """Apply/merge the LoRA overlay and gather the result fully replicated, as
+    ONE collective jit — safe from TP-sharded base params in multi-host runs
+    (every process must call this; host copies land where replication makes
+    all shards addressable)."""
+    rep = replicated(mesh)
+    out_sh = jax.tree.map(lambda _: rep, base_params)
+    eff = jax.jit(lambda b, a: overlay_fn(b, a, lora_cfg), out_shardings=out_sh)(base_params, adapters)
+    if jax.process_count() > 1:
+        eff = jax.tree.map(np.asarray, eff)
+    return eff
 
 
 def _opt_structure_sig(opt_state) -> str:
@@ -214,18 +232,21 @@ def adopt_pretrain_architecture(cfg: Config, model_path: Path | None) -> Config:
 
 
 def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> None:
-    print("Initializing...")
+    main = is_main_process()
+    n_proc = jax.process_count()
+    say = print if main else (lambda *a, **k: None)
+    say("Initializing...")
     cfg = adopt_pretrain_architecture(cfg, model_path)
     project_dir = Path(cfg.train.project_dir)
     project_dir.mkdir(parents=True, exist_ok=True)
 
     mesh = make_mesh(cfg.train.mesh_data, cfg.train.mesh_model, cfg.train.mesh_seq)
-    print(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s)")
+    say(f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} device(s), {n_proc} process(es)")
 
     model = build_model(cfg.model, cfg.diffusion)
     base_params = model.init_params(jax.random.PRNGKey(cfg.train.seed))
     if model_path is not None:
-        print(f"loading pretrained weights from {model_path}")
+        say(f"loading pretrained weights from {model_path}")
         from osufusion_tpu.utils.serialization import load_params_lenient
 
         base_params = load_params_lenient(base_params, load_safetensors(model_path))
@@ -235,7 +256,7 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
     adapters = init_lora(base_params, lora_cfg, jax.random.PRNGKey(cfg.train.seed + 1))
     trainable, n_layers = count_lora_params(adapters)
     total = sum(p.size for p in jax.tree.leaves(base_params))
-    print(
+    say(
         f"trainable params: {trainable:,} || all params: {total + trainable:,} || "
         f"trainable%: {trainable / (total + trainable) * 100:.4f} ({n_layers} adapted layers)"
     )
@@ -250,7 +271,7 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
         ckpt = latest_adapter_checkpoint(project_dir)
         if ckpt is not None:
             adapters, opt_state, current_step = load_adapter_checkpoint(ckpt, adapters, opt_state)
-            print(f"resumed adapters from {ckpt} at step {current_step}")
+            say(f"resumed adapters from {ckpt} at step {current_step}")
             if cfg.train.reset_steps:
                 current_step = 0
 
@@ -258,7 +279,7 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
     accum = cfg.train.gradient_accumulation_steps
     step_fn = make_peft_step(model, lora_cfg, tx, mesh, accum=accum)
 
-    print("Loading dataset...")
+    say("Loading dataset...")
     paths = sorted(Path(cfg.train.dataset_dir).rglob("*.map.npz")) if cfg.train.dataset_mode != "dummy" else []
     if cfg.train.max_length > 0 and paths:
         paths = D.filter_dataset(paths, cfg.train.max_length)
@@ -271,32 +292,40 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
         sample_density=cfg.train.sample_density,
     )
     bucket = min(D.BUCKET, max(64, cfg.train.segment_length))
+    assert cfg.train.batch_size % n_proc == 0, (
+        f"global batch {cfg.train.batch_size} not divisible by {n_proc} processes"
+    )
+    local_bs = cfg.train.batch_size // n_proc
     data_state = load_data_state(project_dir, current_step) if resume else None
     batches = D.DataPipeline(
         dataset,
-        cfg.train.batch_size * max(1, accum),
+        local_bs * max(1, accum),
         bucket=bucket,
         num_workers=cfg.train.num_workers,
         start=data_state,
+        shard=(jax.process_index(), n_proc),
     )
+    b_shardings = batch_shardings(mesh, accum)
 
-    logger = MetricLogger(project_dir)
+    logger = MetricLogger(project_dir, enabled=main)
     rng = jax.random.PRNGKey(cfg.train.seed + 2)
     losses: list[float] = []
 
-    print("Training adapters...")
+    say("Training adapters...")
     t_last = time.time()
     while current_step < cfg.train.total_steps:
         batch = next(batches)
         if accum > 1:
             x, a, c, ol = batch
-            B = cfg.train.batch_size
+            B = local_bs
             batch = (
                 x.reshape(accum, B, *x.shape[1:]),
                 a.reshape(accum, B, *a.shape[1:]),
                 c.reshape(accum, B, *c.shape[1:]),
                 ol.reshape(accum, B),
             )
+        if n_proc > 1:
+            batch = make_global_batch(batch, b_shardings)
         adapters, opt_state, rng, loss, grad_norm = step_fn(adapters, opt_state, base_params, rng, batch)
         current_step += 1
 
@@ -306,7 +335,7 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
             losses.pop(0)
         dt = time.time() - t_last
         t_last = time.time()
-        print(
+        say(
             f"step {current_step} loss={loss:.5f} avg={sum(losses)/len(losses):.5f} "
             f"norm={float(grad_norm):.4f} ({dt:.2f}s)",
             flush=True,
@@ -314,8 +343,12 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
         logger.log({"loss": loss, "total_norm": float(grad_norm)}, step=current_step)
 
         if cfg.train.save_every > 0 and current_step % cfg.train.save_every == 0:
-            save_adapter_checkpoint(adapters, opt_state, current_step, project_dir, lora_cfg)
-            prune_adapter_checkpoints(project_dir, cfg.train.max_num_checkpoints)
+            # ZeRO-sharded moments span processes: gather (collective, all
+            # ranks), then process 0 alone writes the host-side npz/safetensors
+            save_opt = replicate_params(opt_state, mesh) if n_proc > 1 else opt_state
+            if main:
+                save_adapter_checkpoint(adapters, save_opt, current_step, project_dir, lora_cfg)
+                prune_adapter_checkpoints(project_dir, cfg.train.max_num_checkpoints)
             save_data_state(project_dir, current_step, batches)
 
         if (
@@ -326,30 +359,33 @@ def train(cfg: Config, model_path: Path, lora_cfg: LoraConfig, resume: bool) -> 
         ):
             # periodic fixed-seed sampling through the MERGED weights
             # (reference trainer_peft.py:167-207): same bucket-padded path as
-            # the pretrainer's hook
-            print("Sampling...")
-            from types import SimpleNamespace
-
+            # the pretrainer's hook. The overlay apply + gather runs as ONE
+            # collective jit so it works from TP-sharded base params too.
+            say("Sampling...")
             from trainer import sample_step
 
-            eff = apply_lora(base_params, adapters, lora_cfg)
-            sample_step(
-                model,
-                SimpleNamespace(params=eff),
-                Path(cfg.train.sample_audio),
-                project_dir,
-                logger,
-                current_step,
-                cfg,
-            )
+            eff = _overlay_replicated(apply_lora, base_params, adapters, lora_cfg, mesh)
+            if main:
+                sample_step(
+                    model,
+                    eff,
+                    Path(cfg.train.sample_audio),
+                    project_dir,
+                    logger,
+                    current_step,
+                    cfg,
+                )
 
-    save_adapter_checkpoint(adapters, opt_state, current_step, project_dir, lora_cfg)
-    prune_adapter_checkpoints(project_dir, cfg.train.max_num_checkpoints)
-    print("Merging adapters...")
-    merged = merge_lora(base_params, adapters, lora_cfg)
-    save_safetensors(merged, project_dir / "merged_model.safetensors")
+    save_opt = replicate_params(opt_state, mesh) if n_proc > 1 else opt_state
+    if main:
+        save_adapter_checkpoint(adapters, save_opt, current_step, project_dir, lora_cfg)
+        prune_adapter_checkpoints(project_dir, cfg.train.max_num_checkpoints)
+    say("Merging adapters...")
+    merged = _overlay_replicated(merge_lora, base_params, adapters, lora_cfg, mesh)
+    if main:
+        save_safetensors(merged, project_dir / "merged_model.safetensors")
     logger.close()
-    print("Done.")
+    say("Done.")
 
 
 def parse_args():
@@ -398,6 +434,10 @@ def parse_args():
     p.add_argument("--lora-alpha", type=float, default=32.0)
     p.add_argument("--no-dora", action="store_true")
     p.add_argument("--rslora", action="store_true")
+    # multi-host launch (parallel/distributed.py; also via OSUFUSION_* env vars)
+    p.add_argument("--coordinator", type=str, default=None, help="host:port of process 0")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     args = p.parse_args()
 
     if args.dummy_dataset:
@@ -458,14 +498,17 @@ def parse_args():
         use_dora=not args.no_dora,
         use_rslora=args.rslora,
     )
-    return cfg, (Path(args.model_path) if args.model_path else None), lora_cfg, args.resume
+    dist = (args.coordinator, args.num_processes, args.process_id)
+    return cfg, (Path(args.model_path) if args.model_path else None), lora_cfg, args.resume, dist
 
 
 if __name__ == "__main__":
+    from osufusion_tpu.parallel.distributed import maybe_initialize
     from osufusion_tpu.utils.cache import enable_compilation_cache
     from osufusion_tpu.utils.platform import pin_platform_from_env
 
     pin_platform_from_env()
+    cfg, model_path, lora_cfg, resume, _dist = parse_args()
+    maybe_initialize(*_dist)  # before any backend/device use
     enable_compilation_cache()
-    cfg, model_path, lora_cfg, resume = parse_args()
     train(cfg, model_path, lora_cfg, resume)
