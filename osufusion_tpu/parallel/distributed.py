@@ -110,10 +110,17 @@ def local_batch_slice(global_batch: int) -> Tuple[int, int]:
     process p owns rows [p*B/P, (p+1)*B/P). ``make_global_batch`` does not
     actually rely on contiguity (make_array_from_process_local_data maps rows
     by the sharding's addressable shards); this helper exists for data
-    pipelines that want to materialize only their rows.
+    pipelines that want to materialize only their rows, so it VERIFIES the
+    contiguity assumption instead of silently returning wrong indices under
+    an exotic device order.
     """
     n = jax.process_count()
     assert global_batch % n == 0, f"global batch {global_batch} not divisible by {n} processes"
+    proc_order = [d.process_index for d in jax.devices()]
+    assert proc_order == sorted(proc_order), (
+        f"jax.devices() does not group processes contiguously in process order "
+        f"({proc_order}); derive rows from the batch sharding's addressable shards instead"
+    )
     rows = global_batch // n
     return jax.process_index() * rows, rows
 

@@ -40,15 +40,18 @@ def ring_available(
     """Can the ring path serve this site? Self-attention in the GLOBAL regime
     (window off or covering the whole sequence — the engaged-window case is
     the halo path's job), shards that tile the flash kernel. Full-MHA sites
-    (h == kv > 1, the DiT backbones) run single-head slices that the kernel
-    serves by timestep folding — the local shard must tile a fold too."""
+    (h == kv — the DiT backbones, and the default h = kv = 1 which is the
+    per-head slice a caller omitting h/kv asserts) run single-head kernel
+    slices served by timestep folding, so the local shard must tile a fold
+    too; grouped-GQA sites (h > kv) must pass their real h/kv or the fold
+    check would wrongly gate them."""
     from osufusion_tpu.ops.pallas_attention import _choose_tfold, _pick_block
 
     if n <= 1 or t != s or t % n != 0 or d % 64 != 0:
         return False
     if window is not None and window < t:
         return False
-    if h == kv and h >= 1 and _choose_tfold(t // n, s // n)[2] == 0:
+    if h == kv and _choose_tfold(t // n, s // n)[2] == 0:
         return False
     return _pick_block(t // n, 512) > 0
 

@@ -249,14 +249,22 @@ class SubsequenceDataset(StreamDataset):
         yield x[..., start : start + self.sequence_length], a[..., start : start + self.sequence_length], c
 
 
-def collate(batch: Sequence[Sample], bucket: int = BUCKET) -> Batch:
+def collate(batch: Sequence[Sample], bucket: int = BUCKET, pad_to: Optional[int] = None) -> Batch:
     """Pad each sample to the batch's bucket-rounded max length.
 
     x pads with -1 (silence signal), a with -23 (log-VQT silence); returns
     ``orig_len`` for loss masking (reference trainer.py:74-95). Bucketing the
     padded length bounds the number of distinct shapes XLA sees.
+
+    ``pad_to`` raises the padding target to a fixed minimum. Multi-host runs
+    REQUIRE it for variable-length dataset modes: each process collates its
+    own stripe of samples, so a batch-local max would diverge across hosts
+    and the processes would compile mismatched programs (then hang in the
+    first collective). See ``process_invariant_pad``.
     """
     max_len = max(x.shape[-1] for x, _, _ in batch)
+    if pad_to is not None:
+        max_len = max(max_len, pad_to)
     target = ((max_len + bucket - 1) // bucket) * bucket
 
     out_x = np.full((len(batch), TOTAL_DIM, target), X_PAD, dtype=np.float32)
@@ -271,6 +279,32 @@ def collate(batch: Sequence[Sample], bucket: int = BUCKET) -> Batch:
         out_c[i] = c
         orig_len[i] = n
     return out_x, out_a, out_c, orig_len
+
+
+def process_invariant_pad(mode: str, segment_length: int, max_length: int = 0) -> Optional[int]:
+    """The fixed padding target that makes every host collate identical shapes.
+
+    Multi-host feeding (parallel/distributed.py) assembles the global batch
+    from per-process stripes; the batch SHAPE must therefore be a pure
+    function of the dataset mode, never of which samples landed on which
+    host. Returns the mode's length cap (bucket-rounding happens in
+    ``collate``): the fixed ``subsequence`` crop already satisfies the
+    invariant for free, while the variable-length modes pay padding up to
+    their cap — correctness over per-batch shape thrift.
+    """
+    if mode == "subsequence":
+        return segment_length
+    if mode == "random-length":
+        cap = RandomLengthDataset.MAX_LENGTH
+    elif mode == "full-sequence":
+        cap = FullSequenceDataset.MAX_LENGTH
+    elif mode == "dummy":
+        cap = segment_length * 2  # make_dataset's dummy max_length
+    else:
+        raise ValueError(f"unknown dataset mode: {mode}")
+    if max_length > 0:
+        cap = min(cap, max_length)
+    return cap
 
 
 class DataPipeline:
@@ -294,10 +328,12 @@ class DataPipeline:
         depth: int = 4,
         start: Optional[Dict[str, int]] = None,
         shard: Tuple[int, int] = (0, 1),
+        pad_to: Optional[int] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.bucket = bucket
+        self.pad_to = pad_to
         # multi-host stripe: process p of n consumes positions i with
         # i % n == p of the SAME deterministic position stream — the analog of
         # the reference's per-process DataLoader shard (dataset.py:88-103).
@@ -350,7 +386,7 @@ class DataPipeline:
             self._buf.extend(produced)
             self._next_state = {"epoch": epoch, "index": index + 1}
             if len(self._buf) >= self.batch_size:
-                batch = collate(self._buf[: self.batch_size], self.bucket)
+                batch = collate(self._buf[: self.batch_size], self.bucket, self.pad_to)
                 self._buf = self._buf[self.batch_size :]
                 # a position yields at most one sample in every dataset mode,
                 # so the buffer is empty here and _next_state is exact

@@ -270,13 +270,12 @@ def _to_saveable(state: TrainState) -> dict:
     return {"step": state.step, "params": state.params, "opt_state": state.opt_state, "rng": rng}
 
 
-def _data_state_path(project_dir: Path) -> Path:
+def _data_state_path(project_dir: Path, shard_id: int) -> Path:
     """Per-process resume file: each host's pipeline walks its own stripe of
     the position stream (train/data.py shard=), so each saves its own
     position. Process 0 keeps the legacy name; hosts share the filesystem
     (an Orbax requirement already)."""
-    idx = jax.process_index()
-    name = "data_state.json" if idx == 0 else f"data_state_p{idx}.json"
+    name = "data_state.json" if shard_id == 0 else f"data_state_p{shard_id}.json"
     return Path(project_dir) / name
 
 
@@ -285,22 +284,56 @@ def save_data_state(project_dir: Path, step: int, pipeline) -> None:
 
     Positional randomness (train/data.py) makes ``{"epoch", "index"}`` the
     FULL data-order state — the equivalent of the reference checkpointing
-    torch RNG blobs (reference trainer.py:148-177)."""
+    torch RNG blobs (reference trainer.py:148-177). The stripe layout
+    (shard_id/num_shards) is recorded so a resume under a DIFFERENT process
+    count fails loudly instead of silently re-walking or skipping samples:
+    ``i % num_shards`` striping is only meaningful for the count it was
+    saved with."""
     import json
 
-    st = {"step": step, **pipeline.state()}
-    _data_state_path(project_dir).write_text(json.dumps(st))
+    st = {
+        "step": step,
+        **pipeline.state(),
+        "shard_id": pipeline.shard_id,
+        "num_shards": pipeline.num_shards,
+    }
+    _data_state_path(project_dir, pipeline.shard_id).write_text(json.dumps(st))
 
 
-def load_data_state(project_dir: Path, current_step: int) -> Optional[dict]:
+def load_data_state(
+    project_dir: Path, current_step: int, shard: Tuple[int, int] = (0, 1)
+) -> Optional[dict]:
     """Resume position saved at ``current_step``, or None (fresh data order)
-    if absent or recorded at a different step."""
+    if absent or recorded at a different step.
+
+    ``shard`` is this process's (shard_id, num_shards). A layout mismatch —
+    the file records a different stripe layout, or a rank's file is missing
+    in a multi-process resume at a nonzero step — raises instead of silently
+    restarting that rank's stripe at epoch 0 (which would duplicate rank-0's
+    early samples and skip this rank's later ones)."""
     import json
 
-    p = _data_state_path(project_dir)
+    shard_id, num_shards = shard
+    p = _data_state_path(project_dir, shard_id)
     if not p.exists():
+        if num_shards > 1 and current_step > 0:
+            raise RuntimeError(
+                f"process {shard_id}/{num_shards}: no data-state file {p} for resume at "
+                f"step {current_step} — this run was saved under a different process "
+                "count. Resume with the original count, or pass --reset-steps to "
+                "restart the data order on every rank together."
+            )
         return None
     st = json.loads(p.read_text())
+    saved_layout = (int(st.get("shard_id", 0)), int(st.get("num_shards", 1)))
+    if saved_layout != (shard_id, num_shards):
+        raise RuntimeError(
+            f"data-state file {p} was saved by process {saved_layout[0]} of "
+            f"{saved_layout[1]} but this run is process {shard_id} of {num_shards}: "
+            "the position stripe does not transfer across process counts. Resume "
+            "with the original count, or delete the data_state*.json files to "
+            "restart the data order on every rank together."
+        )
     if st.get("step") != current_step:
         return None
     return {"epoch": int(st["epoch"]), "index": int(st["index"])}

@@ -285,6 +285,71 @@ def test_pipeline_resume_matches_uninterrupted():
             np.testing.assert_array_equal(w, g)
 
 
+def test_process_invariant_pad_values():
+    assert D.process_invariant_pad("subsequence", 4096) == 4096
+    assert D.process_invariant_pad("random-length", 4096) == D.RandomLengthDataset.MAX_LENGTH
+    assert D.process_invariant_pad("full-sequence", 4096) == D.FullSequenceDataset.MAX_LENGTH
+    assert D.process_invariant_pad("full-sequence", 4096, max_length=8192) == 8192
+    assert D.process_invariant_pad("dummy", 64) == 128
+    with pytest.raises(ValueError):
+        D.process_invariant_pad("nope", 4096)
+
+
+def test_multihost_pad_to_makes_shapes_process_invariant():
+    """Variable-length modes under a multi-host stripe: each process collates
+    a DIFFERENT subset of samples, so batch-local max padding diverges across
+    processes (mismatched compiled programs -> hung collectives). pad_to pins
+    every process to the same target (ADVICE r04, train/data.py)."""
+
+    def mk(shard, pad_to):
+        return D.DataPipeline(
+            D.DummyDataset(num_samples=16, seed=11, min_length=64, max_length=256),
+            2,
+            bucket=64,
+            shard=shard,
+            pad_to=pad_to,
+        )
+
+    # without pad_to the two stripes' padded lengths diverge somewhere
+    p0, p1 = mk((0, 2), None), mk((1, 2), None)
+    lens0 = [next(p0)[0].shape[-1] for _ in range(4)]
+    lens1 = [next(p1)[0].shape[-1] for _ in range(4)]
+    assert lens0 != lens1, "dummy lengths happened to match; pick a different seed"
+
+    pad = D.process_invariant_pad("dummy", 128)  # dummy cap = 2x segment_length
+    p0, p1 = mk((0, 2), pad), mk((1, 2), pad)
+    for _ in range(4):
+        b0, b1 = next(p0), next(p1)
+        assert b0[0].shape == b1[0].shape == (2, 6, 256)
+        assert b0[1].shape == b1[1].shape == (2, 96, 256)
+
+
+def test_data_state_shard_layout_mismatch_raises(tmp_path):
+    """Resuming under a different process count must fail loudly, not
+    silently restart ranks at epoch 0 (ADVICE r04, train/loop.py)."""
+    from osufusion_tpu.train.loop import load_data_state, save_data_state
+
+    pipe = D.DataPipeline(
+        D.DummyDataset(num_samples=6, seed=7, min_length=64, max_length=128), 2, bucket=64, shard=(0, 2)
+    )
+    next(pipe)
+    save_data_state(tmp_path, step=10, pipeline=pipe)
+
+    # matching layout: resumes
+    st = load_data_state(tmp_path, current_step=10, shard=(0, 2))
+    assert st == pipe.state()
+    # saved as 1-of-2, resumed single-process: loud failure
+    with pytest.raises(RuntimeError, match="process count"):
+        load_data_state(tmp_path, current_step=10, shard=(0, 1))
+    # a rank whose file is missing in a multi-process nonzero-step resume
+    with pytest.raises(RuntimeError, match="no data-state file"):
+        load_data_state(tmp_path / "empty", current_step=10, shard=(1, 2))
+    # single-process missing file stays a soft fresh start
+    assert load_data_state(tmp_path / "empty", current_step=10, shard=(0, 1)) is None
+    # step mismatch stays a soft fresh data order (same on every rank)
+    assert load_data_state(tmp_path, current_step=11, shard=(0, 2)) is None
+
+
 def test_segment_sr_changes_crop_conditioning(tmp_path):
     """segment_sr=True through the actual dataset path: the crop's SR channel
     is recomputed (reference dataset.py:75 defaults it ON)."""

@@ -145,7 +145,18 @@ def train(cfg: Config) -> None:
         f"global batch {cfg.train.batch_size} not divisible by {n_proc} processes"
     )
     local_bs = cfg.train.batch_size // n_proc
-    data_state = load_data_state(project_dir, current_step=int(state.step)) if cfg.train.resume else None
+    data_state = (
+        load_data_state(project_dir, current_step=int(state.step), shard=(jax.process_index(), n_proc))
+        if cfg.train.resume
+        else None
+    )
+    # multi-host: every process must collate the SAME padded length or the
+    # compiled programs diverge across hosts (parallel/distributed.py)
+    pad_to = (
+        D.process_invariant_pad(cfg.train.dataset_mode, cfg.train.segment_length, cfg.train.max_length)
+        if n_proc > 1
+        else None
+    )
     batches = D.DataPipeline(
         dataset,
         local_bs * max(1, accum),
@@ -153,6 +164,7 @@ def train(cfg: Config) -> None:
         num_workers=cfg.train.num_workers,
         start=data_state,
         shard=(jax.process_index(), n_proc),
+        pad_to=pad_to,
     )
     b_shardings = batch_shardings(mesh, accum)
 
