@@ -69,21 +69,45 @@ def bench_generation() -> dict:
     # cache (utils/cache.py) serves the latter cross-process on the TPU
     # backend (verified: a second cold process logs a jit_sample cache hit
     # and compile_s collapses to blob-deserialize time).
+    #
+    # BENCH_AOT=1 goes further (serve/aot.py): the traced program itself is
+    # serialized to disk, so a process that finds the artifact pays NO
+    # Python tracing at all — trace_s becomes deserialize time. Run twice
+    # (fresh OSUFUSION_AOT_DIR) for the cold/warm pair; the second process's
+    # trace_s + compile_s + warmup_s is the serving time-to-first-map.
     x0_warm = jax.random.normal(jax.random.PRNGKey(0), (1, 6, padded))
-    t0 = time.perf_counter()
-    # the jit wrapper is a class attribute (static self): bind explicitly
-    lowered = type(model).sample.lower(
-        model, params, a, c, x=x0_warm, cond_scale=cfg_scale, sampling_timesteps=steps, method=sampler
-    )
-    trace_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    compiled = lowered.compile()
-    compile_s = time.perf_counter() - t0
+    if os.environ.get("BENCH_AOT", "0") == "1":
+        from osufusion_tpu.serve.aot import load_or_export_sampler, load_sampler
 
-    def run(seed: int) -> np.ndarray:
-        x0 = jax.random.normal(jax.random.PRNGKey(seed), (1, 6, padded))
-        out = compiled(params, a, c, x=x0)
-        return np.asarray(out)  # host read = sync
+        t0 = time.perf_counter()
+        run_aot = load_sampler(model, a.shape, steps, sampler, cfg_scale)
+        had_artifact = run_aot is not None
+        if run_aot is None:
+            run_aot = load_or_export_sampler(model, params, a.shape, steps, sampler, cfg_scale)
+        trace_s = time.perf_counter() - t0  # export (cold) or deserialize (warm)
+        t0 = time.perf_counter()
+        compiled = None
+        compile_s = 0.0  # compile happens on first call below (warmup_s)
+
+        def run(seed: int) -> np.ndarray:
+            x0 = jax.random.normal(jax.random.PRNGKey(seed), (1, 6, padded))
+            return np.asarray(run_aot(params, a, c, x0))
+    else:
+        had_artifact = None
+        t0 = time.perf_counter()
+        # the jit wrapper is a class attribute (static self): bind explicitly
+        lowered = type(model).sample.lower(
+            model, params, a, c, x=x0_warm, cond_scale=cfg_scale, sampling_timesteps=steps, method=sampler
+        )
+        trace_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        compile_s = time.perf_counter() - t0
+
+        def run(seed: int) -> np.ndarray:
+            x0 = jax.random.normal(jax.random.PRNGKey(seed), (1, 6, padded))
+            out = compiled(params, a, c, x=x0)
+            return np.asarray(out)  # host read = sync
 
     t0 = time.perf_counter()
     run(0)  # warmup (device upload of params + first execute)

@@ -195,6 +195,15 @@ def _rot_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x[..., d // 2 :], x[..., : d // 2]], axis=-1)
 
 
+def _unrotate(g: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of the rotary map x -> x*cos + rot_half(x)*sin, in VMEM.
+
+    rot_half is orthogonal with rot_half^T = -rot_half, so
+    J^T g = g*cos - rot_half(g*sin). With SCALE-carrying tables (the q side)
+    the adjoint lands directly in the raw input's frame, scale included."""
+    return g * cos - _rot_half(g * sin)
+
+
 def _fwd_kernel(
     *refs, bq, bk, nk, fold, window, fast, rope
 ):
@@ -465,8 +474,7 @@ def _dkv_kernel(
 
 
 def _bwd_fused_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dqp_ref,
-    dk_acc, dv_acc, *, bq, bk, nq, fold,
+    *refs, bq, bk, nq, fold, rope,
 ):
     """Fused backward for GLOBAL attention: one (kv-block, q-block) sweep
     computes dk, dv AND a per-kv-block dq partial. The split dq/dkv kernels
@@ -481,7 +489,20 @@ def _bwd_fused_kernel(
     shifted by -log2(ln2) once per (rows, 1) block, making exp2(s - lse')
     equal ln2·p — exactly the ds chain-rule constant (s_e = ln2·s_2). dk and
     dq then need no scale pass at all; dv divides the ln2 back out on its
-    (bk, D) accumulator at finalize."""
+    (bk, D) accumulator at finalize.
+
+    With ``rope``, q/k arrive RAW plus cos/sin table blocks (q tables
+    scale-carrying, like the forward): the kernel rotates them in-register
+    to reproduce the forward's logits exactly, and UN-rotates the gradients
+    on the way out (dq partials in-register per block — free; dk once per kv
+    block at finalize) — so the XLA-side whole-tensor rotate/unrotate passes
+    of the training attention path disappear entirely."""
+    if rope:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         dk_ref, dv_ref, dqp_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dqp_ref, dk_acc, dv_acc) = refs
     ii = pl.program_id(2)  # q block (inner sweep)
     n_visit = pl.num_programs(2)
 
@@ -494,6 +515,9 @@ def _bwd_fused_kernel(
     D = q_ref.shape[-1]
     q = q_ref[0].reshape(rows, D)
     k = k_ref[0]  # (bk, D)
+    if rope:
+        q = q * cq_ref[:] + _rot_half(q) * sq_ref[:]
+        k = k * ck_ref[:] + _rot_half(k) * sk_ref[:]
     v = v_ref[0]
     do = do_ref[0].reshape(rows, D)
     lse = lse_ref[0] - math.log2(LN2)  # (rows, 1): exp2(s - lse') = ln2 * p
@@ -510,28 +534,51 @@ def _bwd_fused_kernel(
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dqp_ref[0, 0] = (
-        jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        .astype(dqp_ref.dtype)
-        .reshape(dqp_ref.shape[2:])
+    dqp = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
+    if rope:
+        # un-rotate the dq partial in-register, f32, with the scale-carrying
+        # q tables: the XLA stack-sum outside then yields dq in the RAW q's
+        # frame with no whole-tensor unrotate pass
+        dqp = _unrotate(dqp, cq_ref[:].astype(jnp.float32), sq_ref[:].astype(jnp.float32))
+    dqp_ref[0, 0] = dqp.astype(dqp_ref.dtype).reshape(dqp_ref.shape[2:])
 
     @pl.when(ii == n_visit - 1)
     def _finalize():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dk = dk_acc[:]
+        if rope:
+            dk = _unrotate(dk, ck_ref[:].astype(jnp.float32), sk_ref[:].astype(jnp.float32))
+        dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = (dv_acc[:] * (1.0 / LN2)).astype(dv_ref.dtype)
 
 
-def _flash_bwd_fused(fold, bq, bk, res, g):
-    """Global-attention backward via the fused kernel; see _bwd_fused_kernel."""
+def _flash_bwd_fused(fold, bq, bk, res, g, rope=None):
+    """Global-attention backward via the fused kernel; see _bwd_fused_kernel.
+    With ``rope`` = (cos_q, sin_q, ck, sk) tables (q tables row-expanded
+    and scale-carrying, exactly the forward's), q/k in ``res`` are RAW.
+
+    Block sizes are FREE of the forward's choice: the lse/delta residual is
+    flat (B, T*fold) in t-major order — row r of q block i sits at
+    i*rows + r = fold*t + h for ANY bq — so the backward re-blocks it
+    however it likes. The backward holds three (rows, bk) f32 chunks at
+    once; (bq=32 -> rows=512, bk=1024) fits that budget while HALVING both
+    the dq-partial stack depth (nk) and the number of q/do re-reads vs the
+    (64, 512) the forward would imply — measured faster at every production
+    shape (see scripts/attn_microbench.py)."""
     q, k, v, o, lse = res
     lse = lse[..., None]
     do, _ = g
     B, T, H, D = q.shape
     S = k.shape[1]
-    bk = min(bk, 512)
+    import os
+
+    bwd_bq = int(os.environ.get("OSUFUSION_BWD_BQ", 0))
+    bwd_bk = int(os.environ.get("OSUFUSION_BWD_BK", 0))
+    # default: halve block_q (wider-than-tall chunks keep VMEM flat) and use
+    # the widest tileable block_k up to 1024
+    bq = _pick_block(T, bwd_bq or max(32, bq // 2)) or bq
+    bk = _pick_block(S, bwd_bk or 1024) or min(bk, 512)
     rows = fold * bq
     nq = T // bq
     nk = S // bk
@@ -541,17 +588,25 @@ def _flash_bwd_fused(fold, bq, bk, res, g):
     )
 
     stats_spec = pl.BlockSpec((1, rows, 1), lambda b, jk, ii: (b, ii, 0))
+    in_specs = [
+        pl.BlockSpec((1, bq, H, D), lambda b, jk, ii: (b, ii, 0, 0)),
+        pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+        pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+        pl.BlockSpec((1, bq, H, D), lambda b, jk, ii: (b, ii, 0, 0)),
+        stats_spec,
+        stats_spec,
+    ]
+    operands = [q, k, v, do, lse, delta]
+    if rope is not None:
+        q_table_spec = pl.BlockSpec((rows, D), lambda b, jk, ii: (ii, 0))
+        k_table_spec = pl.BlockSpec((bk, D), lambda b, jk, ii: (jk, 0))
+        in_specs += [q_table_spec, q_table_spec, k_table_spec, k_table_spec]
+        operands += list(rope)
+
     dk, dv, dq_parts = pl.pallas_call(
-        functools.partial(_bwd_fused_kernel, bq=bq, bk=bk, nq=nq, fold=fold),
+        functools.partial(_bwd_fused_kernel, bq=bq, bk=bk, nq=nq, fold=fold, rope=rope is not None),
         grid=(B, nk, nq),
-        in_specs=[
-            pl.BlockSpec((1, bq, H, D), lambda b, jk, ii: (b, ii, 0, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
-            pl.BlockSpec((1, bq, H, D), lambda b, jk, ii: (b, ii, 0, 0)),
-            stats_spec,
-            stats_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
             pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
@@ -571,7 +626,7 @@ def _flash_bwd_fused(fold, bq, bk, res, g):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
-    )(q, k, v, do, lse, delta)
+    )(*operands)
 
     dq = jnp.sum(dq_parts.astype(jnp.float32), axis=0).astype(q.dtype)
     return dq, dk, dv
@@ -1222,6 +1277,36 @@ def _bwd_rule(fold, bq, bk, window, fast, res, g):
 _flash_attention_seqmajor.defvjp(_fwd_rule, _bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _flash_attention_rope(q, k, v, cq, sq, ck, sk, fold, bq, bk):
+    """GLOBAL flash attention with the rotary embedding fused into BOTH the
+    forward and backward kernels: q/k arrive RAW, the q tables carry
+    scale*log2e (exactly the inference fused-RoPE contract, _flash_fwd), and
+    the backward un-rotates dq/dk in-register (_bwd_fused_kernel). The
+    whole-tensor XLA rotate-half passes of the training attention path —
+    ~15 ms/step of pure HBM traffic at the production config (round-5
+    trace) — disappear."""
+    o, _ = _flash_fwd(q, k, v, fold, bq, bk, None, fast=False, rope=(cq, sq, ck, sk))
+    return o
+
+
+def _rope_fwd_rule(q, k, v, cq, sq, ck, sk, fold, bq, bk):
+    o, lse = _flash_fwd(q, k, v, fold, bq, bk, None, fast=False, rope=(cq, sq, ck, sk))
+    return o, (q, k, v, o, lse[..., 0], cq, sq, ck, sk)
+
+
+def _rope_bwd_rule(fold, bq, bk, res, g):
+    q, k, v, o, lse, cq, sq, ck, sk = res
+    dq, dk, dv = _flash_bwd_fused(fold, bq, bk, (q, k, v, o, lse), (g, None), rope=(cq, sq, ck, sk))
+    # table grads: the tables are trace-time constants (rope.py) — zero
+    # cotangents keep the vjp signature honest and DCE away under jit
+    zt = lambda t: jnp.zeros_like(t)
+    return dq, dk, dv, zt(cq), zt(sq), zt(ck), zt(sk)
+
+
+_flash_attention_rope.defvjp(_rope_fwd_rule, _rope_bwd_rule)
+
+
 def flash_attention_available(t: int, s: int, d: int, h: int = 1, kv: int = 1) -> bool:
     """Can the kernel tile this shape? Requires a lane-friendly head dim and
     block-divisible sequence lengths. kv > 1 (GQA/MHA) is served by slicing
@@ -1284,12 +1369,16 @@ def flash_attention(
     assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
 
     scale = D**-0.5 * LOG2E
-    if rope is not None and _INFERENCE.get() and T == S:
-        # forward-only: fuse the rotary embedding into the kernel — the
-        # whole-tensor rotate-half read/write passes over q and k disappear.
-        # The q tables absorb the softmax/exp2 scale (tables are tiny).
+    fuse_rope = rope is not None and T == S and (window is None or _INFERENCE.get())
+    if fuse_rope:
+        # fuse the rotary embedding into the kernel — the whole-tensor
+        # rotate-half read/write passes over q and k disappear. The q tables
+        # absorb the softmax/exp2 scale (tables are tiny). On the training
+        # path (global sites only) the fused backward un-rotates dq/dk
+        # in-register (_flash_attention_rope); windowed sites keep the XLA
+        # rope below (their backward runs the split dq/dkv kernels).
         # The table blocks + rotate temporaries need VMEM headroom: halve the
-        # folded rows vs the plain inference config.
+        # folded rows vs the plain config.
         cos, sin = rope
         if tfold > 1:
             # timestep fold: kernel row r of q block i IS timestep
@@ -1315,10 +1404,15 @@ def flash_attention(
                 cos.astype(k.dtype),
                 sin.astype(k.dtype),
             )
-        o, _ = _flash_fwd(
-            q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window,
-            fast=True, rope=tables,
-        )
+        if _INFERENCE.get():
+            o, _ = _flash_fwd(
+                q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window,
+                fast=True, rope=tables,
+            )
+        else:
+            o = _flash_attention_rope(
+                q, k.reshape(B, S, D), v.reshape(B, S, D), *tables, fold, bq, bk
+            )
         return o.reshape(B, T, H, D) if tfold > 1 else o
     if rope is not None:
         from osufusion_tpu.ops.rope import apply_rope

@@ -66,8 +66,19 @@ def generate_beatmap(
     allow_beat_snap: bool = True,
     seed: int = 0,
     output_path: Optional[Path] = None,
+    use_aot: Optional[bool] = None,
 ) -> Tuple[bytes, list[str]]:
-    """Returns (.osz bytes, list of .osu texts). Writes to output_path if given."""
+    """Returns (.osz bytes, list of .osu texts). Writes to output_path if given.
+
+    ``use_aot`` (default: the OSUFUSION_AOT env flag) serves the sampler from
+    an AOT-serialized executable (serve/aot.py): the first process per
+    (config, shape, steps, sampler) pays the trace+export, every later
+    process skips Python tracing entirely — the dominant serving cold-start
+    cost on slow hosts."""
+    import os
+
+    if use_aot is None:
+        use_aot = os.environ.get("OSUFUSION_AOT", "0") == "1"
     audio_path = Path(audio_path)
     spec = load_audio(audio_path)  # (96, T)
     n = spec.shape[-1]
@@ -78,8 +89,18 @@ def generate_beatmap(
     c = jnp.asarray(np.repeat(normalize_context(np.array([cs, ar, od, hp, sr], np.float32))[None], num_samples, 0))
     x0 = jax.random.normal(jax.random.PRNGKey(seed), (num_samples, model.model_cfg.dim_in_x, padded))
 
-    kw = {} if sampler is None else {"method": sampler}
-    out = model.sample(params, a, c, x=x0, cond_scale=cond_scale, sampling_timesteps=sampling_timesteps, **kw)
+    if use_aot:
+        from osufusion_tpu.serve.aot import load_or_export_sampler
+
+        from osufusion_tpu.models import DiffusionModel as _DM
+
+        steps = sampling_timesteps or model.cfg.sampling_timesteps
+        method = sampler or ("ddim" if isinstance(model, _DM) else "midpoint")
+        run = load_or_export_sampler(model, params, a.shape, steps, method, cond_scale)
+        out = run(params, a, c, x0)
+    else:
+        kw = {} if sampler is None else {"method": sampler}
+        out = model.sample(params, a, c, x=x0, cond_scale=cond_scale, sampling_timesteps=sampling_timesteps, **kw)
     signals = np.asarray(out)[..., :n]  # crop padding back off
 
     ft = frame_times(n)

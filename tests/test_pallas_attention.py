@@ -301,3 +301,101 @@ def test_fused_rope_inference_matches_xla_rope():
             fused = pa.flash_attention(q, k, v, window=256, rope=tables)
     err = np.abs(np.asarray(fused, np.float32) - np.asarray(exact, np.float32)).max()
     assert err < 0.03, f"fused-rope error too large: {err}"
+
+
+def test_fused_rope_training_forward_matches_xla_rope():
+    """Round-5: the TRAINING path also fuses the rotary embedding into the
+    kernels for global sites (q/k arrive raw; scale rides the q tables).
+    Forward must match XLA apply_rope + pre-scaled kernel exactly-ish (f32
+    inputs: the only difference is multiply ordering)."""
+    from osufusion_tpu.ops.rope import apply_rope, rope_tables
+
+    q, k, v = make_qkv(B=1, T=512, H=4, Kv=1)
+    tables = rope_tables(512, 64, scale_base=512.0)
+
+    with pltpu.force_tpu_interpret_mode():
+        fused = pa.flash_attention(q, k, v, rope=tables)  # no inference ctx: training path
+        ref = pa.flash_attention(apply_rope(q, *tables), apply_rope(k, *tables), v)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-5, rtol=5e-4)
+
+
+def test_fused_rope_training_grads_match_xla_rope():
+    """The fused backward rotates q/k in-register to reproduce the forward's
+    logits and UN-rotates dq (per-partial) and dk (at finalize): gradients
+    must match the XLA-rope reference for all of q, k, v."""
+    from osufusion_tpu.ops.rope import apply_rope, rope_tables
+
+    q, k, v = make_qkv(B=1, T=512, H=4, Kv=1, seed=3)
+    tables = rope_tables(512, 64, scale_base=512.0)
+
+    def loss_fused(q, k, v):
+        return (pa.flash_attention(q, k, v, rope=tables).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (
+            pa.flash_attention(apply_rope(q, *tables), apply_rope(k, *tables), v).astype(jnp.float32) ** 2
+        ).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-3, err_msg=f"d{name} mismatch"
+        )
+
+
+def test_fused_rope_training_full_mha_fold_grads():
+    """Timestep-folded (H == Kv) sites take the fused-RoPE training path too:
+    plain (T, D) tables line up with folded rows; grads must survive the
+    fold + unfold round trip."""
+    from osufusion_tpu.ops.rope import apply_rope, rope_tables
+
+    q, k, v = make_qkv(B=1, T=512, H=4, Kv=4, seed=5)
+    tables = rope_tables(512, 64, scale_base=512.0)
+
+    def loss_fused(q, k, v):
+        return (pa.flash_attention(q, k, v, rope=tables).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (
+            pa.flash_attention(apply_rope(q, *tables), apply_rope(k, *tables), v).astype(jnp.float32) ** 2
+        ).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        o_fused = pa.flash_attention(q, k, v, rope=tables)
+        o_ref = pa.flash_attention(apply_rope(q, *tables), apply_rope(k, *tables), v)
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(o_fused), np.asarray(o_ref), atol=5e-5, rtol=5e-4)
+    for gf, gr, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-3, err_msg=f"d{name} mismatch"
+        )
+
+
+def test_fused_rope_training_windowed_keeps_xla_rope():
+    """Windowed training sites keep the XLA rope (the split dq/dkv backward
+    kernels don't take tables): outputs and grads stay exact vs the masked
+    reference."""
+    from osufusion_tpu.ops.rope import apply_rope, rope_tables
+
+    q, k, v = make_qkv(B=1, T=512, H=4, Kv=1, seed=7)
+    tables = rope_tables(512, 64, scale_base=512.0)
+
+    def loss_rope_arg(q, k, v):
+        return (pa.flash_attention(q, k, v, window=128, rope=tables).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (
+            pa.flash_attention(apply_rope(q, *tables), apply_rope(k, *tables), v, window=128).astype(
+                jnp.float32
+            )
+            ** 2
+        ).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_a = jax.grad(loss_rope_arg, argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for ga, gr, name in zip(g_a, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=1e-5, rtol=1e-5, err_msg=f"d{name}")
