@@ -205,17 +205,20 @@ def _unrotate(g: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray
 
 
 def _fwd_kernel(
-    *refs, bq, bk, nk, fold, window, fast, rope
+    *refs, bq, bk, nk, nq, fold, window, fast, rope, dense
 ):
     """One (q-block, kv-visit) step. q_ref block is (1, bq, H, D) read
     straight from the seq-major (B, T, H, D) array; the merge to (bq*H, D)
     rows is a VMEM layout no-op (row r = (t=r//H, h=r%H)). Logits are in the
     exp2 domain (q pre-scaled by scale*log2e — or, with ``rope``, by tables
-    that carry the scale; see ``_flash_fwd``)."""
+    that carry the scale; see ``_flash_fwd``). With ``dense`` the LSE leaves
+    as one LANE-major row of a (8, rows) output block (the padded column
+    layout costs a 128x lane-padded HBM tensor — see ``_flash_fwd``)."""
     if rope:
-        q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+        q_ref, k_ref, v_ref, cq_ref, sq_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, qrot_ref = refs
     else:
         q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref = refs
+    b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     n_visit = pl.num_programs(2)
@@ -225,6 +228,15 @@ def _fwd_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
+        if rope:
+            # rotate q ONCE per block (it is pinned across the whole kv
+            # sweep) into scratch; k arrives PRE-ROTATED from XLA — at MQA
+            # it is a (B, S, D) tensor 16x smaller than q, so its XLA
+            # rotate pass costs microseconds while fusing it here would
+            # re-rotate it per visit
+            rows = fold * bq
+            q = q_ref[0].reshape(rows, q_ref.shape[-1])
+            qrot_ref[:] = q * cq_ref[:] + _rot_half(q) * sq_ref[:]
 
     virtual = (i * bq - window // 2) // bk + j if window is not None else j
     valid = jnp.logical_and(virtual >= 0, virtual < nk) if window is not None else (j >= 0)
@@ -233,19 +245,16 @@ def _fwd_kernel(
         def body():
             rows = fold * bq
             if rope:
-                # fused rotary embedding: the whole-tensor rotate-half
-                # read/write passes over q and k in HBM disappear. The q
-                # tables arrive PRE-EXPANDED to row space (row r = t*fold+h
-                # -> table row t, done with a constant-folded jnp.repeat
-                # outside) and carry the softmax scale, so everything here
-                # is plain 2D elementwise work
-                q = q_ref[0].reshape(rows, q_ref.shape[-1])
-                q = q * cq_ref[:] + _rot_half(q) * sq_ref[:]
-                k = k_ref[0]
-                k = k * ck_ref[:] + _rot_half(k) * sk_ref[:]
+                # fused rotary embedding for q: the whole-tensor rotate-half
+                # read/write passes over the (B, T, H, D) q in HBM disappear.
+                # The q tables arrive PRE-EXPANDED to row space (row r =
+                # t*fold+h -> table row t, a constant-folded jnp.repeat
+                # outside) and carry the softmax scale; the rotation itself
+                # ran once at j == 0 (scratch above)
+                q = qrot_ref[:]
             else:
                 q = q_ref[0].reshape(rows, q_ref.shape[-1])  # (bq*H, D), seq-major
-                k = k_ref[0]  # (bk, D)
+            k = k_ref[0]  # (bk, D)
             v = v_ref[0]
 
             # fast (forward-only) mode keeps the logits/probabilities in
@@ -301,20 +310,39 @@ def _fwd_kernel(
         o_ref[0] = o.reshape(o_ref.shape[1:])
         # BASE-2 LSE for the backward: logits were base-2 and the backward
         # kernels stay in the exp2 domain end to end
-        lse_ref[0] = m_ref[:] + jnp.log2(l)  # (rows, 1)
+        lse = m_ref[:] + jnp.log2(l)  # (rows, 1)
+        if dense:
+            rows = fold * bq
+            lse_ref[(b * nq + i) % 8] = lse.reshape(rows)
+        else:
+            lse_ref[0] = lse
 
 
-def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None):
+def _dense_stats_ok(B: int, nq: int) -> bool:
+    """Can softmax stats use the DENSE lane-major (B*nq, rows) layout? Its
+    (8, rows) blocks need the flattened q-block count divisible by 8. The
+    alternative — (B, QR, 1) with (rows, 1) blocks — lane-pads 128x in HBM:
+    at the production config that is a 134 MB transient per level-0 site and
+    a 256 KB (instead of 2 KB amortized) stats DMA per backward visit."""
+    return (B * nq) % 8 == 0
+
+
+def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None, dense=False):
     """q: seq-major (B, T, H, D); k/v: (B, S, D) rank-3 MQA. Without ``rope``
-    q must arrive PRE-SCALED by scale*log2e. With ``rope`` = (cos_q, sin_q,
-    cos_k, sin_k) tables, q/k arrive raw and the kernel applies the rotary
-    embedding in VMEM (the q tables must carry the scale*log2e factor).
-    Returns (o, lse) with lse in ``_stats_shape`` layout."""
+    q must arrive PRE-SCALED by scale*log2e. With ``rope`` = (cos_q, sin_q)
+    row-expanded q tables (carrying the scale*log2e factor), q arrives raw
+    and the kernel rotates it in VMEM once per block; k must arrive ALREADY
+    rotated (its XLA pass is tiny at MQA size).
+    Returns (o, lse); lse is dense lane-major (B*nq, rows) with ``dense``
+    (requires ``_dense_stats_ok``), else the padded ``_stats_shape`` layout.
+    Both are row-major over the same flat (B, T*fold) index, so reshapes
+    between them (and across different block choices) are free."""
     B, T, H, D = q.shape
     S = k.shape[1]
     rows = fold * bq
     nq = T // bq
     nk = S // bk
+    assert not dense or _dense_stats_ok(B, nq)
     n_visit = _span_visits(window, bq, bk, nk)
     local = window is not None
 
@@ -325,13 +353,9 @@ def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None):
     def q_table_index(b, i, j):
         return (i, 0)  # on the row-expanded (T*fold, D) q tables
 
-    def k_table_index(b, i, j):
-        jj = jnp.clip((i * bq - window // 2) // bk + j, 0, nk - 1) if local else j
-        return (jj, 0)
-
     kernel = functools.partial(
-        _fwd_kernel, bq=bq, bk=bk, nk=nk, fold=fold, window=window, fast=fast,
-        rope=rope is not None,
+        _fwd_kernel, bq=bq, bk=bk, nk=nk, nq=nq, fold=fold, window=window, fast=fast,
+        rope=rope is not None, dense=dense,
     )
 
     in_specs = [
@@ -340,36 +364,45 @@ def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None):
         pl.BlockSpec((1, bk, D), kv_index),
     ]
     operands = [q, k, v]
+    scratch = [
+        pltpu.VMEM((rows, D), jnp.float32),
+        pltpu.VMEM((rows, 1), jnp.float32),
+        pltpu.VMEM((rows, 1), jnp.float32),
+    ]
     if rope is not None:
-        cos_q, sin_q, cos_k, sin_k = rope  # q tables row-expanded (T*fold, D)
+        cos_q, sin_q = rope  # q tables row-expanded (T*fold, D)
         in_specs += [
             pl.BlockSpec((rows, D), q_table_index),
             pl.BlockSpec((rows, D), q_table_index),
-            pl.BlockSpec((bk, D), k_table_index),
-            pl.BlockSpec((bk, D), k_table_index),
         ]
-        operands += [cos_q, sin_q, cos_k, sin_k]
+        operands += [cos_q, sin_q]
+        scratch.append(pltpu.VMEM((rows, D), q.dtype))  # rotated-q block
 
+    if dense:
+        lse_spec = pl.BlockSpec((8, rows), lambda b, i, j: ((b * nq + i) // 8, 0))
+        lse_shape = jax.ShapeDtypeStruct((B * nq, rows), jnp.float32)
+        # the (8, rows) lse block collects rows from 8 CONSECUTIVE q blocks,
+        # so the q-block grid dim must iterate in order: "arbitrary", not
+        # "parallel" (sequential on a single TensorCore either way)
+        semantics = ("parallel", "arbitrary", "arbitrary")
+    else:
+        lse_spec = pl.BlockSpec((1, rows, 1), lambda b, i, j: (b, i, 0))
+        lse_shape = jax.ShapeDtypeStruct(_stats_shape(B, nq, rows), jnp.float32)
+        semantics = ("parallel", "parallel", "arbitrary")
     o, lse = pl.pallas_call(
         kernel,
         grid=(B, nq, n_visit),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
-            pl.BlockSpec((1, rows, 1), lambda b, i, j: (b, i, 0)),
+            lse_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T, H, D), q.dtype),
-            jax.ShapeDtypeStruct(_stats_shape(B, nq, rows), jnp.float32),
+            lse_shape,
         ],
-        scratch_shapes=[
-            pltpu.VMEM((rows, D), jnp.float32),
-            pltpu.VMEM((rows, 1), jnp.float32),
-            pltpu.VMEM((rows, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")
-        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=semantics),
     )(*operands)
     return o, lse
 
@@ -474,7 +507,7 @@ def _dkv_kernel(
 
 
 def _bwd_fused_kernel(
-    *refs, bq, bk, nq, fold, rope,
+    *refs, bq, bk, nq, fold, rope, dense,
 ):
     """Fused backward for GLOBAL attention: one (kv-block, q-block) sweep
     computes dk, dv AND a per-kv-block dq partial. The split dq/dkv kernels
@@ -491,18 +524,19 @@ def _bwd_fused_kernel(
     dq then need no scale pass at all; dv divides the ln2 back out on its
     (bk, D) accumulator at finalize.
 
-    With ``rope``, q/k arrive RAW plus cos/sin table blocks (q tables
-    scale-carrying, like the forward): the kernel rotates them in-register
-    to reproduce the forward's logits exactly, and UN-rotates the gradients
-    on the way out (dq partials in-register per block — free; dk once per kv
-    block at finalize) — so the XLA-side whole-tensor rotate/unrotate passes
-    of the training attention path disappear entirely."""
+    With ``rope``, q arrives RAW plus its scale-carrying cos/sin table blocks
+    (k arrives PRE-ROTATED from XLA — tiny at MQA size): the kernel rotates
+    q in-register to reproduce the forward's logits exactly, and un-rotates
+    each dq partial in-register before writing it (free under the MXU
+    shadow), so the XLA stack-sum lands directly in the RAW q's frame;
+    dk leaves rotated and its un-rotation is a tiny XLA pass."""
     if rope:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, cq_ref, sq_ref,
          dk_ref, dv_ref, dqp_ref, dk_acc, dv_acc) = refs
     else:
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
          dk_ref, dv_ref, dqp_ref, dk_acc, dv_acc) = refs
+    b = pl.program_id(0)
     ii = pl.program_id(2)  # q block (inner sweep)
     n_visit = pl.num_programs(2)
 
@@ -514,14 +548,20 @@ def _bwd_fused_kernel(
     rows = fold * bq
     D = q_ref.shape[-1]
     q = q_ref[0].reshape(rows, D)
-    k = k_ref[0]  # (bk, D)
     if rope:
         q = q * cq_ref[:] + _rot_half(q) * sq_ref[:]
-        k = k * ck_ref[:] + _rot_half(k) * sk_ref[:]
+    k = k_ref[0]  # (bk, D)
     v = v_ref[0]
     do = do_ref[0].reshape(rows, D)
-    lse = lse_ref[0] - math.log2(LN2)  # (rows, 1): exp2(s - lse') = ln2 * p
-    delta = delta_ref[0]
+    if dense:
+        # one lane-major row of the (8, rows) stats block -> (rows, 1): the
+        # in-register relayout replaces a 256 KB lane-padded DMA per visit
+        row = (b * nq + ii) % 8
+        lse = lse_ref[row].reshape(rows, 1) - math.log2(LN2)
+        delta = delta_ref[row].reshape(rows, 1)
+    else:
+        lse = lse_ref[0] - math.log2(LN2)  # (rows, 1): exp2(s - lse') = ln2 * p
+        delta = delta_ref[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     p_ln2 = jnp.exp2(s - lse)  # = ln2 * softmax probability
@@ -538,22 +578,21 @@ def _bwd_fused_kernel(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     if rope:
-        # un-rotate the dq partial in-register, f32, with the scale-carrying
-        # q tables: the XLA stack-sum outside then yields dq in the RAW q's
-        # frame with no whole-tensor unrotate pass
+        # un-rotate the dq partial in-register (f32, scale-carrying q tables):
+        # free under the MXU shadow, and the XLA stack-sum outside then yields
+        # dq directly in the RAW q's frame. (Un-rotating AFTER the sum in XLA
+        # was measured ~1 ms/site slower: the f32 sum materializes and the
+        # rotate-half slices break its output fusion.)
         dqp = _unrotate(dqp, cq_ref[:].astype(jnp.float32), sq_ref[:].astype(jnp.float32))
     dqp_ref[0, 0] = dqp.astype(dqp_ref.dtype).reshape(dqp_ref.shape[2:])
 
     @pl.when(ii == n_visit - 1)
     def _finalize():
-        dk = dk_acc[:]
-        if rope:
-            dk = _unrotate(dk, ck_ref[:].astype(jnp.float32), sk_ref[:].astype(jnp.float32))
-        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0] = (dv_acc[:] * (1.0 / LN2)).astype(dv_ref.dtype)
 
 
-def _flash_bwd_fused(fold, bq, bk, res, g, rope=None):
+def _flash_bwd_fused(fold, bq, bk, res, g, rope=None, dense=False):
     """Global-attention backward via the fused kernel; see _bwd_fused_kernel.
     With ``rope`` = (cos_q, sin_q, ck, sk) tables (q tables row-expanded
     and scale-carrying, exactly the forward's), q/k in ``res`` are RAW.
@@ -567,7 +606,6 @@ def _flash_bwd_fused(fold, bq, bk, res, g, rope=None):
     (64, 512) the forward would imply — measured faster at every production
     shape (see scripts/attn_microbench.py)."""
     q, k, v, o, lse = res
-    lse = lse[..., None]
     do, _ = g
     B, T, H, D = q.shape
     S = k.shape[1]
@@ -582,12 +620,20 @@ def _flash_bwd_fused(fold, bq, bk, res, g, rope=None):
     rows = fold * bq
     nq = T // bq
     nk = S // bk
+    dense = dense and _dense_stats_ok(B, nq)
 
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1).reshape(
-        _stats_shape(B, nq, rows)
-    )
-
-    stats_spec = pl.BlockSpec((1, rows, 1), lambda b, jk, ii: (b, ii, 0))
+    delta_flat = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if dense:
+        # lse arrived dense (B*nq_f, rows_f); both it and delta reshape FREELY
+        # to this call's blocking (same flat (B, T*fold) row-major order)
+        lse_op = lse.reshape(B * nq, rows)
+        delta_op = delta_flat.reshape(B * nq, rows)
+        stats_spec = pl.BlockSpec((8, rows), lambda b, jk, ii: ((b * nq + ii) // 8, 0))
+    else:
+        # padded-column layout; if the residual came in dense, re-expand
+        lse_op = lse.reshape(_stats_shape(B, nq, rows)[:-1])[..., None]
+        delta_op = delta_flat.reshape(_stats_shape(B, nq, rows))
+        stats_spec = pl.BlockSpec((1, rows, 1), lambda b, jk, ii: (b, ii, 0))
     in_specs = [
         pl.BlockSpec((1, bq, H, D), lambda b, jk, ii: (b, ii, 0, 0)),
         pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
@@ -596,15 +642,16 @@ def _flash_bwd_fused(fold, bq, bk, res, g, rope=None):
         stats_spec,
         stats_spec,
     ]
-    operands = [q, k, v, do, lse, delta]
+    operands = [q, k, v, do, lse_op, delta_op]
     if rope is not None:
         q_table_spec = pl.BlockSpec((rows, D), lambda b, jk, ii: (ii, 0))
-        k_table_spec = pl.BlockSpec((bk, D), lambda b, jk, ii: (jk, 0))
-        in_specs += [q_table_spec, q_table_spec, k_table_spec, k_table_spec]
-        operands += list(rope)
+        in_specs += [q_table_spec, q_table_spec]
+        operands += list(rope)  # (cos_q, sin_q) row-expanded, scale-carrying
 
     dk, dv, dq_parts = pl.pallas_call(
-        functools.partial(_bwd_fused_kernel, bq=bq, bk=bk, nq=nq, fold=fold, rope=rope is not None),
+        functools.partial(
+            _bwd_fused_kernel, bq=bq, bk=bk, nq=nq, fold=fold, rope=rope is not None, dense=dense
+        ),
         grid=(B, nk, nq),
         in_specs=in_specs,
         out_specs=[
@@ -632,9 +679,9 @@ def _flash_bwd_fused(fold, bq, bk, res, g, rope=None):
     return dq, dk, dv
 
 
-def _flash_bwd(fold, bq, bk, window, res, g):
+def _flash_bwd(fold, bq, bk, window, res, g, dense=False):
     if window is None:
-        return _flash_bwd_fused(fold, bq, bk, res, g)
+        return _flash_bwd_fused(fold, bq, bk, res, g, dense=dense)
     q, k, v, o, lse = res
     lse = lse[..., None]  # residual stored squeezed; kernels want (B, QR, 1)
     do, _ = g
@@ -1254,50 +1301,68 @@ def ring_flash_attention_local(
 # -------------------------------------------------------------- public API
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention_seqmajor(q, k, v, fold, bq, bk, window, fast=False):
-    o, _ = _flash_fwd(q, k, v, fold, bq, bk, window, fast)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+def _flash_attention_seqmajor(q, k, v, fold, bq, bk, window, fast=False, dense=False):
+    o, _ = _flash_fwd(q, k, v, fold, bq, bk, window, fast, dense=dense)
     return o
 
 
-def _fwd_rule(q, k, v, fold, bq, bk, window, fast=False):
+def _fwd_rule(q, k, v, fold, bq, bk, window, fast=False, dense=False):
     # the exact-softmax forward backs the residuals; fast mode is never
     # differentiated (samplers only), but keep bwd numerically consistent
-    o, lse = _flash_fwd(q, k, v, fold, bq, bk, window, False)
-    # squeeze the residual: XLA lane-pads a trailing dim of 1 by 128x in HBM,
-    # so the (B, QR, 1) form stays a transient inside fwd/bwd while the value
-    # held across the whole backward is dense (B, QR)
-    return o, (q, k, v, o, lse[..., 0])
+    o, lse = _flash_fwd(q, k, v, fold, bq, bk, window, False, dense=dense)
+    # the residual crossing fwd->bwd stays 2-D either way: lane-major
+    # (B*nq, rows) when dense, squeezed (B, QR) otherwise (the (B, QR, 1)
+    # column form would lane-pad 128x in HBM)
+    return o, (q, k, v, o, lse if dense else lse[..., 0])
 
 
-def _bwd_rule(fold, bq, bk, window, fast, res, g):
-    return _flash_bwd(fold, bq, bk, window, res, (g, None))
+def _bwd_rule(fold, bq, bk, window, fast, dense, res, g):
+    return _flash_bwd(fold, bq, bk, window, res, (g, None), dense=dense)
 
 
 _flash_attention_seqmajor.defvjp(_fwd_rule, _bwd_rule)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
-def _flash_attention_rope(q, k, v, cq, sq, ck, sk, fold, bq, bk):
-    """GLOBAL flash attention with the rotary embedding fused into BOTH the
-    forward and backward kernels: q/k arrive RAW, the q tables carry
-    scale*log2e (exactly the inference fused-RoPE contract, _flash_fwd), and
-    the backward un-rotates dq/dk in-register (_bwd_fused_kernel). The
-    whole-tensor XLA rotate-half passes of the training attention path —
-    ~15 ms/step of pure HBM traffic at the production config (round-5
-    trace) — disappear."""
-    o, _ = _flash_fwd(q, k, v, fold, bq, bk, None, fast=False, rope=(cq, sq, ck, sk))
+def _rotate_rank3(x, cos, sin):
+    """XLA-side rotary for the (B, S, D) MQA k — 16x smaller than q, so this
+    whole-tensor pass costs microseconds where fusing it into the kernels
+    would re-rotate it once per visited block."""
+    d = x.shape[-1]
+    rot = jnp.concatenate([-x[..., d // 2 :], x[..., : d // 2]], axis=-1)
+    return x * cos.astype(x.dtype) + rot * sin.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _flash_attention_rope(q, k, v, cq, sq, ck, sk, fold, bq, bk, dense=False):
+    """GLOBAL flash attention with the q-side rotary embedding fused into
+    BOTH the forward and backward kernels: q arrives RAW, its tables carry
+    scale*log2e (exactly the inference fused-RoPE contract, _flash_fwd), the
+    forward rotates it once per block into VMEM scratch, and the backward
+    reproduces the logits the same way, emitting rotated-frame gradients
+    that XLA un-rotates in fused epilogues. k (MQA-small) rotates in XLA.
+    The whole-tensor rotate-half passes over the 16-head q — ~15 ms/step of
+    pure HBM traffic at the production config (round-5 trace) — disappear."""
+    k_rot = _rotate_rank3(k, ck, sk)
+    o, _ = _flash_fwd(q, k_rot, v, fold, bq, bk, None, fast=False, rope=(cq, sq), dense=dense)
     return o
 
 
-def _rope_fwd_rule(q, k, v, cq, sq, ck, sk, fold, bq, bk):
-    o, lse = _flash_fwd(q, k, v, fold, bq, bk, None, fast=False, rope=(cq, sq, ck, sk))
-    return o, (q, k, v, o, lse[..., 0], cq, sq, ck, sk)
+def _rope_fwd_rule(q, k, v, cq, sq, ck, sk, fold, bq, bk, dense=False):
+    k_rot = _rotate_rank3(k, ck, sk)
+    o, lse = _flash_fwd(q, k_rot, v, fold, bq, bk, None, fast=False, rope=(cq, sq), dense=dense)
+    return o, (q, k_rot, v, o, lse if dense else lse[..., 0], cq, sq, ck, sk)
 
 
-def _rope_bwd_rule(fold, bq, bk, res, g):
-    q, k, v, o, lse, cq, sq, ck, sk = res
-    dq, dk, dv = _flash_bwd_fused(fold, bq, bk, (q, k, v, o, lse), (g, None), rope=(cq, sq, ck, sk))
+def _rope_bwd_rule(fold, bq, bk, dense, res, g):
+    q, k_rot, v, o, lse, cq, sq, ck, sk = res
+    dq, dk_rot, dv = _flash_bwd_fused(
+        fold, bq, bk, (q, k_rot, v, o, lse), (g, None), rope=(cq, sq), dense=dense
+    )
+    # adjoint of k's XLA rotation back into the RAW k's frame (tiny tensor)
+    dk = _unrotate(
+        dk_rot.astype(jnp.float32), ck.astype(jnp.float32), sk.astype(jnp.float32)
+    ).astype(dk_rot.dtype)
     # table grads: the tables are trace-time constants (rope.py) — zero
     # cotangents keep the vjp signature honest and DCE away under jit
     zt = lambda t: jnp.zeros_like(t)
@@ -1385,33 +1450,31 @@ def flash_attention(
             # i*bq*fold + r, so the plain (T, D) tables blocked at
             # (rows, D) already line up row-for-row — no repeat.
             bq = _pick_block(T // tfold, max(64, 1024 // tfold))
-            tables = (
-                (cos * scale).astype(q.dtype),
-                (sin * scale).astype(q.dtype),
-                cos.astype(k.dtype),
-                sin.astype(k.dtype),
-            )
+            q_tables = ((cos * scale).astype(q.dtype), (sin * scale).astype(q.dtype))
             q = q.reshape(B, T // tfold, tfold, D)
         else:
             bq = _pick_block(T, max(64, 1024 // H))
-            tables = (
-                # q tables: row-expanded to (T*fold, D) — row r = t*fold + h
-                # maps to table row t — and carrying the softmax/exp2 scale.
-                # Tables are trace-time constants, so XLA folds the repeat
-                # once.
+            # q tables: row-expanded to (T*fold, D) — row r = t*fold + h
+            # maps to table row t — and carrying the softmax/exp2 scale.
+            # Tables are trace-time constants, so XLA folds the repeat once.
+            q_tables = (
                 jnp.repeat((cos * scale).astype(q.dtype), fold, axis=0),
                 jnp.repeat((sin * scale).astype(q.dtype), fold, axis=0),
-                cos.astype(k.dtype),
-                sin.astype(k.dtype),
             )
+        ck, sk = cos.astype(k.dtype), sin.astype(k.dtype)
+        # dense lane-major softmax stats whenever the global layout tiles
+        # (_dense_stats_ok); windowed training keeps the padded layout (its
+        # split backward kernels read the column form)
+        dense = window is None and _dense_stats_ok(B, q.shape[1] // bq)
         if _INFERENCE.get():
+            k_rot = _rotate_rank3(k.reshape(B, S, D), ck, sk)
             o, _ = _flash_fwd(
-                q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window,
-                fast=True, rope=tables,
+                q, k_rot, v.reshape(B, S, D), fold, bq, bk, window,
+                fast=True, rope=q_tables, dense=dense,
             )
         else:
             o = _flash_attention_rope(
-                q, k.reshape(B, S, D), v.reshape(B, S, D), *tables, fold, bq, bk
+                q, k.reshape(B, S, D), v.reshape(B, S, D), *q_tables, ck, sk, fold, bq, bk, dense
             )
         return o.reshape(B, T, H, D) if tfold > 1 else o
     if rope is not None:
@@ -1423,7 +1486,8 @@ def flash_attention(
     q = q * jnp.asarray(scale, q.dtype)
     if tfold > 1:
         q = q.reshape(B, T // tfold, tfold, D)
+    dense = window is None and _dense_stats_ok(B, q.shape[1] // bq)
     o = _flash_attention_seqmajor(
-        q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window, _INFERENCE.get()
+        q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window, _INFERENCE.get(), dense
     )
     return o.reshape(B, T, H, D) if tfold > 1 else o

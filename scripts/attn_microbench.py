@@ -32,6 +32,7 @@ def main() -> None:
     ap.add_argument("--cpu-smoke", action="store_true", help="tiny shapes, interpret mode, CPU")
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--chain", type=int, default=8, help="kernel applications per timed call")
+    ap.add_argument("--rope", action="store_true", help="bench the fused-RoPE training path")
     args = ap.parse_args()
 
     if args.cpu_smoke:
@@ -54,10 +55,9 @@ def main() -> None:
     # production train-step sites (dim_h=512 UNet, B=4, T=4096): per-level
     # (T, heads) with kv_heads=1, D=64; plus the fullsong serving shape and
     # the full-MHA (H == Kv, timestep-fold) shapes the DiT/MMDiT backbones
-    # run — (B, T, H, Kv, D)
-    # (B, T, H, Kv, D, with_grad) — the fullsong serving shape is
-    # inference-only: its fused-backward dq-partial stack would not fit HBM
-    # at T=22656 anyway (177 kv blocks), and nothing ever differentiates it
+    # run. Tuple = (B, T, H, Kv, D, with_grad) — the fullsong serving shape
+    # is inference-only: its fused-backward dq-partial stack would not fit
+    # HBM at T=22656 anyway (177 kv blocks), and nothing differentiates it
     shapes = (
         [(1, 256, 4, 1, 64, True)] if args.cpu_smoke else [
             (4, 4096, 16, 1, 64, True),  # UNet level 0 transformers
@@ -75,6 +75,12 @@ def main() -> None:
         q = jnp.asarray(rng.normal(0, 1, (B, T, H, D)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(0, 1, (B, T, Kv, D)), jnp.bfloat16)
         v = jnp.asarray(rng.normal(0, 1, (B, T, Kv, D)), jnp.bfloat16)
+        rope_kw = {}
+        if args.rope:
+            from osufusion_tpu.ops.rope import rope_tables
+
+            rope_kw = {"rope": rope_tables(T, D, scale_base=float(T))}
+        flash = lambda q, k, v: flash_attention(q, k, v, **rope_kw)
 
         # chain the kernel: iteration i feeds the (renormalized) previous
         # output back as q, so one dispatch times `chain` kernel runs
@@ -88,14 +94,14 @@ def main() -> None:
             @jax.jit
             def fwd(s, q, k, v):
                 for _ in range(n):
-                    q = flash_attention(q * s.astype(q.dtype), k, v)
+                    q = flash(q * s.astype(q.dtype), k, v)
                 return q[0, 0, 0, 0]
 
             return fwd
 
         grad_1 = jax.grad(
             lambda qkv, s: (
-                flash_attention(qkv[0] * s.astype(qkv[0].dtype), qkv[1], qkv[2]).astype(jnp.float32) ** 2
+                flash(qkv[0] * s.astype(qkv[0].dtype), qkv[1], qkv[2]).astype(jnp.float32) ** 2
             ).sum(),
             argnums=0,
         )

@@ -399,3 +399,58 @@ def test_fused_rope_training_windowed_keeps_xla_rope():
         g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for ga, gr, name in zip(g_a, g_r, "qkv"):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=1e-5, rtol=1e-5, err_msg=f"d{name}")
+
+
+def test_dense_stats_layout_engages_and_matches():
+    """Lane-major (B*nq, rows) softmax stats (round-5): at shapes where the
+    flattened q-block count divides 8 the global path stores LSE densely
+    instead of 128x lane-padded, and the fused backward reads one row of an
+    (8, rows) block. H=16 fold at T=1024 gives bq=64 -> nq=16: dense engages.
+    Forward and all grads must match the einsum reference."""
+    from osufusion_tpu.ops.pallas_attention import _choose_blocks, _dense_stats_ok
+
+    q, k, v = make_qkv(B=1, T=1024, H=16, Kv=1, seed=11)
+    bq, bk, fold = _choose_blocks(1024, 1024, 16)
+    assert _dense_stats_ok(1, 1024 // bq), "shape no longer engages the dense layout; pick another"
+
+    def loss_flash(q, k, v):
+        return (pa.flash_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    def loss_naive(q, k, v):
+        return (gqa_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pa.flash_attention(q, k, v)
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    ref = gqa_attention(q, k, v)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+    for gf, gn, name in zip(g_flash, g_naive, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gn), atol=2e-3, rtol=2e-3, err_msg=f"d{name} mismatch"
+        )
+
+
+def test_dense_stats_with_fused_rope_grads():
+    """Dense stats + fused-RoPE training path together (the production
+    combination): grads vs the XLA-rope reference."""
+    from osufusion_tpu.ops.rope import apply_rope, rope_tables
+
+    q, k, v = make_qkv(B=1, T=1024, H=16, Kv=1, seed=13)
+    tables = rope_tables(1024, 64, scale_base=1024.0)
+
+    def loss_fused(q, k, v):
+        return (pa.flash_attention(q, k, v, rope=tables).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (
+            pa.flash_attention(apply_rope(q, *tables), apply_rope(k, *tables), v).astype(jnp.float32) ** 2
+        ).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_fused, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), atol=2e-3, rtol=2e-3, err_msg=f"d{name} mismatch"
+        )
