@@ -328,7 +328,13 @@ def bench_fullsong_train() -> dict:
         _ = float(metrics["loss"])
         dt = (time.perf_counter() - t0) / steps
     except Exception as e:  # document the OOM point rather than crash
-        detail["error"] = f"{type(e).__name__}: {str(e)[:400]}"
+        msg = str(e)
+        # surface the OOM accounting if present (it sits deep in the
+        # compile-helper error text, past generic HTTP wrapping)
+        marker = msg.find("Ran out of memory")
+        detail["error"] = f"{type(e).__name__}: " + (
+            msg[marker : marker + 600] if marker != -1 else msg[:400]
+        )
         detail["hbm"] = hbm()
         return {
             "metric": "fullsong_train_step",
@@ -363,6 +369,119 @@ def bench_fullsong_train() -> dict:
     }
 
 
+def _synthetic_corpus(root, n_maps: int, frames: int) -> list:
+    """A real-format .map.npz corpus: each x is an ENCODED synthetic beatmap
+    (so segment-SR's per-crop decode + difficulty runs on genuine structure,
+    not noise), a is a log-VQT-floored spectrogram, both savez_compressed
+    exactly like train/preprocess.py writes them."""
+    from pathlib import Path
+
+    from osufusion_tpu.audio.constants import frame_times, normalize_context
+    from osufusion_tpu.codec.encode import encode_beatmap
+    from osufusion_tpu.osu.beatmap import Beatmap
+
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(0)
+    ft = frame_times(frames)
+    song_ms = frames * 8
+    paths = []
+    for m in range(n_maps):
+        # ~3 objects/second with jitter: a dense, rateable map
+        lines = []
+        t = 1000
+        i = 0
+        while t < song_ms - 1000:
+            x_pos = 100 + (i * 37) % 300
+            y_pos = 100 + (i * 53) % 200
+            if i % 7 == 3:
+                lines.append(f"{x_pos},{y_pos},{t},2,0,L|{x_pos + 80}:{y_pos},1,70")
+            else:
+                lines.append(f"{x_pos},{y_pos},{t},{5 if i % 8 == 0 else 1},0,0:0:0:0:")
+            t += 250 + int(rng.integers(0, 150))
+            i += 1
+        text = (
+            "osu file format v14\n\n[General]\nAudioFilename: audio.mp3\nMode: 0\n\n"
+            "[Metadata]\nTitle: Bench\nArtist: Bench\nCreator: bench\nVersion: v\n\n"
+            "[Difficulty]\nHPDrainRate: 5\nCircleSize: 4\nOverallDifficulty: 6\n"
+            "ApproachRate: 8\nSliderMultiplier: 1.4\nSliderTickRate: 1\n\n"
+            "[TimingPoints]\n1000,400,4,1,0,50,1,0\n\n[HitObjects]\n" + "\n".join(lines) + "\n"
+        )
+        osu_path = root / f"m{m}.osu"
+        osu_path.write_text(text, encoding="utf-8")
+        bm = Beatmap(osu_path)
+        x = encode_beatmap(bm, ft)
+        a = (rng.normal(-16, 4, (96, frames))).astype(np.float32)
+        c = normalize_context(np.array([4.0, 8.0, 6.0, 5.0, 3.0 + m % 5], np.float32))
+        spec_name = f"m{m}.spec.npz"
+        # the production spec format (train/preprocess.py): f16, uncompressed
+        np.savez(root / spec_name, a=a.astype(np.float16))
+        map_path = root / f"m{m}.map.npz"
+        np.savez_compressed(map_path, x=x.astype(np.float32), c=c, spec_path=spec_name)
+        paths.append(map_path)
+    return paths
+
+
+def bench_data() -> dict:
+    """Input-pipeline feed rate vs the TPU's measured consumption rate.
+
+    The reference's DataLoader feeds its trainer with per-crop star-rating
+    recompute ON by default (ref trainer.py:254-262, library/dataset.py:40-75)
+    — SURVEY section 7 "hard parts" #4 flags exactly this as the starvation
+    risk on the training hot path. This mode measures DataPipeline
+    samples/s on a real-format corpus with segment-SR ON and OFF, and
+    compares against the production step's consumption (BENCH_CONSUMED_SPS
+    env, default the round-5 measured 2.813 steps/s x batch 4)."""
+    import tempfile
+
+    n_maps = int(os.environ.get("BENCH_DATA_MAPS", 32))
+    frames = int(os.environ.get("BENCH_DATA_FRAMES", 8192))
+    segment = int(os.environ.get("BENCH_SEGMENT", 4096))
+    batch = int(os.environ.get("BENCH_BATCH", 4))
+    workers = int(os.environ.get("BENCH_DATA_WORKERS", os.cpu_count() or 1))
+    n_batches = int(os.environ.get("BENCH_DATA_BATCHES", 24))
+    consumed = float(os.environ.get("BENCH_CONSUMED_SPS", 2.813)) * batch
+
+    from osufusion_tpu.train import data as D
+
+    with tempfile.TemporaryDirectory() as tmp:
+        t0 = time.perf_counter()
+        paths = _synthetic_corpus(tmp, n_maps, frames)
+        build_s = time.perf_counter() - t0
+
+        def rate(segment_sr: bool) -> float:
+            ds = D.SubsequenceDataset(paths, segment_sr=segment_sr, seed=1, sequence_length=segment)
+            pipe = D.DataPipeline(ds, batch, num_workers=workers)
+            next(pipe)  # warm the worker pool / page cache
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                next(pipe)
+            return n_batches * batch / (time.perf_counter() - t0)
+
+        sps_sr = rate(True)
+        sps_plain = rate(False)
+
+    return {
+        "metric": "data_pipeline_samples_per_sec_segment_sr",
+        "value": round(sps_sr, 2),
+        "unit": "samples/s",
+        # >1.0 = the pipeline outruns the production train step's consumption
+        "vs_baseline": round(sps_sr / consumed, 3),
+        "detail": {
+            "samples_per_sec_no_sr": round(sps_plain, 2),
+            "consumption_samples_per_sec": round(consumed, 2),
+            "implied_max_steps_per_sec": round(sps_sr / batch, 3),
+            "maps": n_maps,
+            "frames_per_map": frames,
+            "segment_length": segment,
+            "batch": batch,
+            "workers": workers,
+            "corpus_build_s": round(build_s, 1),
+            "host_cpus": os.cpu_count(),
+        },
+    }
+
+
 def main() -> None:
     from osufusion_tpu.utils.platform import pin_platform_from_env
 
@@ -371,6 +490,8 @@ def main() -> None:
     mode = os.environ.get("BENCH_MODE", "gen")
     if mode == "fullsong_train":
         result = bench_fullsong_train()
+    elif mode == "data":
+        result = bench_data()
     else:
         result = bench_generation() if mode == "gen" else bench_train()
     print(json.dumps(result))
