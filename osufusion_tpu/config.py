@@ -71,6 +71,11 @@ class ModelConfig:
     #                 round-trips of the GroupNorm/FiLM/SiLU soup: smaller
     #                 AND faster than saving everything (measured fastest
     #                 train-step mode on v5e at the production config).
+    #   "resnet-dots" — like "resnet" but with jax.checkpoint's dots_saveable
+    #                 policy: the resblock CONV outputs are saved while the
+    #                 GroupNorm/FiLM/SiLU elementwise chains still recompute —
+    #                 trades ~2 conv-output tensors of HBM per block for
+    #                 skipping the conv recompute FLOPs in the backward.
     remat_mode: str = "save-attn"
     # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
     attn_backend: str = "auto"

@@ -52,6 +52,8 @@ def _remat_plan(cfg: ModelConfig):
         return UNetBlock, "ff"  # remat FFs only; resnets + attention saved
     if cfg.remat_mode == "resnet":
         return UNetBlock, "resnet"  # remat resnets only; FFs + attention saved
+    if cfg.remat_mode == "resnet-dots":
+        return UNetBlock, "resnet-dots"  # remat resnets, conv outputs saved
     return UNetBlock, "inner"  # save-attn: remat resnets+FFs, attention saved
 
 
@@ -99,7 +101,14 @@ class UNetBlock(nn.Module):
         c: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        res_cls = nn.remat(ResidualBlock) if self.remat_inner in ("inner", "resnet") else ResidualBlock
+        if self.remat_inner in ("inner", "resnet"):
+            res_cls = nn.remat(ResidualBlock)
+        elif self.remat_inner == "resnet-dots":
+            import jax
+
+            res_cls = nn.remat(ResidualBlock, policy=jax.checkpoint_policies.dots_saveable)
+        else:
+            res_cls = ResidualBlock
 
         x = res_cls(self.dim_in, has_time_cond=self.has_time_cond, quant=self.quant, **common, name="init_resnet")(x, t, c)
         for i in range(self.num_blocks):

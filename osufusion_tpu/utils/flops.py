@@ -118,13 +118,15 @@ def unet_remat_recompute_flops(
     every transformer FeedForward (incl. the middle transformers); attention
     modules, samplers, stems, middle resnets and the final head are NOT
     rematerialized. "ff": the FeedForwards only. "resnet": the
-    ResidualBlocks only."""
+    ResidualBlocks only. "resnet-dots": the resblocks remat but their conv
+    (dot) outputs are SAVED by policy, so the re-executed work is elementwise
+    only — zero matmul FLOPs."""
     B, T = batch, seq
     h = cfg.dim_h
     dims = [h] + [h * m for m in cfg.dim_h_mult]
     total = 0.0
-    resnets = remat_mode != "ff"
-    ffs = remat_mode != "resnet"
+    resnets = remat_mode not in ("ff", "resnet-dots")
+    ffs = remat_mode not in ("resnet", "resnet-dots")
 
     def ff(t: int, dim: int) -> float:
         if not ffs:

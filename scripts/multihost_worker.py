@@ -11,7 +11,13 @@ property from Accelerate DDP, reference trainer.py:211-264).
 Also round-trips an Orbax checkpoint (multi-process save is collective) and
 asserts the restored step/params match.
 
-Usage: python scripts/multihost_worker.py PROCESS_ID NUM_PROCESSES PORT OUTFILE CKPT_DIR
+With a 6th arg ``peft``, the step is instead one LoRA/DoRA ADAPTER step (the
+trainer_peft.py path): sharded PEFT step over the same global mesh + per-host
+feeding, followed by the collective ``_overlay_replicated`` merge — the two
+pieces of the PEFT trainer's multi-host wiring that only execute under
+``process_count() > 1``.
+
+Usage: python scripts/multihost_worker.py PROCESS_ID NUM_PROCESSES PORT OUTFILE CKPT_DIR [peft]
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 def main() -> None:
     pid, n_proc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     outfile, ckpt_dir = sys.argv[4], sys.argv[5]
+    peft_mode = len(sys.argv) > 6 and sys.argv[6] == "peft"
     n_local = 8 // n_proc
 
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -103,6 +110,10 @@ def main() -> None:
     local = tuple(b[start : start + rows] for b in full)
     batch = make_global_batch(local, batch_shardings(mesh))
 
+    if peft_mode:
+        _run_peft(model, state.params, mesh, batch, outfile, n_proc, pid)
+        return
+
     state, metrics = step_fn(state, batch)
     loss = float(metrics["loss"])
 
@@ -130,6 +141,48 @@ def main() -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices("worker done")
+        sys.stdout.flush()
+        os._exit(0)
+
+
+def _run_peft(model, base_params, mesh, batch, outfile: str, n_proc: int, pid: int) -> None:
+    """One sharded LoRA/DoRA adapter step + the collective merged-model
+    gather — trainer_peft.py's multi-host path, asserted to match the
+    single-process run by tests/test_multihost.py."""
+    import jax
+    import numpy as np
+    import optax
+
+    from osufusion_tpu.parallel.distributed import is_main_process
+    from osufusion_tpu.peft import LoraConfig, init_lora, merge_lora
+    from trainer_peft import _overlay_replicated, make_peft_step, shard_peft
+
+    lora_cfg = LoraConfig(r=4, alpha=4.0, use_dora=True)
+    adapters = init_lora(base_params, lora_cfg, jax.random.PRNGKey(7))
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(adapters)
+    base_params, adapters, opt_state = shard_peft(base_params, adapters, opt_state, mesh)
+    step = make_peft_step(model, lora_cfg, tx, mesh)
+
+    adapters, opt_state, _, loss, grad_norm = step(
+        adapters, opt_state, base_params, jax.random.PRNGKey(3), batch
+    )
+    loss = float(loss)
+
+    # collective merge: every process participates; the merged tree must be
+    # identical everywhere (checksum a stable digest of a few leaves)
+    merged = _overlay_replicated(merge_lora, base_params, adapters, lora_cfg, mesh)
+    leaves = jax.tree.leaves(merged)
+    checksum = float(sum(np.abs(np.asarray(jax.device_get(l))).sum() for l in leaves[:5]))
+
+    if is_main_process():
+        with open(outfile, "w") as f:
+            json.dump({"loss": loss, "grad_norm": float(grad_norm), "merged_checksum": checksum}, f)
+    print(f"p{pid}: peft loss={loss:.6f} merged_checksum={checksum:.4f} ok", flush=True)
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("peft worker done")
         sys.stdout.flush()
         os._exit(0)
 

@@ -2,12 +2,19 @@
 # TPU round checks: run when the axon TPU tunnel is up.
 #   bash scripts/tpu_round_checks.sh [outdir]
 # Produces, in outdir (default /tmp/tpu_checks):
-#   bench_train.json      production train step (strict MFU must be >= 40)
-#   bench_gen.json        full-song 50-step DDIM+CFG generation latency
-#   fullsong_train.json   one dim_h=512 B=1 T=65536 train step (or its OOM point)
-#   cache_run1.json / cache_run2.json
-#                         two cold processes; compile_s in run2 << run1 proves
-#                         the persistent compile cache works on the TPU backend
+#   bench_train.json       production train step (strict MFU target >= 44)
+#   bench_train_dit.json / bench_train_mmdit.json
+#                          transformer-backbone training MFU
+#   bench_gen.json         full-song 50-step DDIM+CFG generation latency
+#   bench_gen_dpm.json     the recommended dpmpp-2m@16 serving latency
+#   bench_data.json        input-pipeline feed rate vs TPU consumption
+#   fullsong_train_<mode>.json
+#                          dim_h=512 B=1 T=65536 step per remat mode (or its
+#                          OOM point) — the remat frontier at full-song length
+#   cache_run1/2.json      two cold processes; compile_s run2 << run1 proves
+#                          the persistent compile cache
+#   aot_run1/2.json        same with BENCH_AOT=1; run2's trace_s+compile_s+
+#                          warmup_s is the serving time-to-first-map
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-/tmp/tpu_checks}
@@ -21,7 +28,12 @@ run() { # name, env...
 }
 
 run bench_train  BENCH_MODE=train
-run fullsong_train BENCH_MODE=fullsong_train
+run bench_train_dit BENCH_MODE=train BENCH_BACKBONE=dit
+run bench_train_mmdit BENCH_MODE=train BENCH_BACKBONE=mmdit
+run bench_data BENCH_MODE=data
+for mode in resnet block save-attn ff; do
+  run "fullsong_train_$mode" BENCH_MODE=fullsong_train BENCH_REMAT_MODE=$mode
+done
 run bench_gen_dpm BENCH_MODE=gen BENCH_SAMPLER=dpmpp-2m BENCH_STEPS=16
 # cache proof: fresh cache dir, two cold processes, same program
 CACHE=$OUT/jax_cache
@@ -29,7 +41,14 @@ rm -rf "$CACHE"
 run cache_run1 BENCH_MODE=gen OSUFUSION_JAX_CACHE="$CACHE"
 run cache_run2 BENCH_MODE=gen OSUFUSION_JAX_CACHE="$CACHE"
 cp "$OUT/cache_run2.json" "$OUT/bench_gen.json"
+# AOT proof: run1 exports the sampler executable; run2 deserializes it —
+# no Python tracing — and its trace_s+compile_s+warmup_s is the serving
+# time-to-first-map (target < 15 s)
+AOT=$OUT/aot_dir
+rm -rf "$AOT"
+run aot_run1 BENCH_MODE=gen BENCH_AOT=1 OSUFUSION_AOT_DIR="$AOT" OSUFUSION_JAX_CACHE="$CACHE"
+run aot_run2 BENCH_MODE=gen BENCH_AOT=1 OSUFUSION_AOT_DIR="$AOT" OSUFUSION_JAX_CACHE="$CACHE"
 echo "=== summary"
-for f in bench_train fullsong_train cache_run1 cache_run2; do
-  echo "$f: $(cat "$OUT/$f.json" 2>/dev/null | head -c 300)"
+for f in "$OUT"/*.json; do
+  echo "$(basename "$f"): $(head -c 300 "$f" 2>/dev/null)"
 done

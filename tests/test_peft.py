@@ -186,6 +186,37 @@ def test_merge_nan_safety(model_and_params):
         merge_lora(params, bad, cfg)
 
 
+def test_overlay_replicated_merge_is_jit_safe(model_and_params):
+    """trainer_peft's final merged-model export routes merge_lora through a
+    collective jit (_overlay_replicated). merge_lora's concrete-bool NaN
+    check cannot trace — regression pin for the TracerBoolConversionError the
+    2-process PEFT worker exposed (the check now runs host-side on the
+    gathered result, same raise-on-NaN contract)."""
+    from osufusion_tpu.parallel import make_mesh
+    from osufusion_tpu.parallel.mesh import host_put, param_shardings, replicated
+    from trainer_peft import _overlay_replicated
+
+    _, raw_params = model_and_params
+    cfg = LoraConfig(r=4, use_dora=False)
+    mesh = make_mesh(data=jax.device_count())
+    params = host_put(raw_params, param_shardings(raw_params, mesh))
+    adapters = init_lora(params, cfg, jax.random.PRNGKey(1))
+    rep = replicated(mesh)
+    adapters = host_put(adapters, jax.tree.map(lambda _: rep, adapters))
+
+    merged = _overlay_replicated(merge_lora, params, adapters, cfg, mesh)
+    ref = merge_lora(params, adapters, cfg)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(merged)[0]), np.asarray(jax.tree.leaves(ref)[0]), rtol=1e-6
+    )
+
+    bad = {k: dict(v) for k, v in adapters.items()}
+    first = next(iter(bad))
+    bad[first]["b"] = bad[first]["b"].at[0, 0].set(jnp.nan)
+    with pytest.raises(ValueError, match="NaNs detected"):
+        _overlay_replicated(merge_lora, params, bad, cfg, mesh)
+
+
 def test_peft_grad_accumulation_equivalence(model_and_params):
     """make_peft_step(accum=2) must equal the hand-computed two-micro-batch
     average: same rng split tree, same averaged grads, same optimizer update

@@ -262,7 +262,7 @@ def parse_args() -> Config:
     p.add_argument("--gradient-checkpointing", action="store_true")
     p.add_argument(
         "--gradient-checkpointing-mode",
-        choices=["block", "save-attn", "ff", "resnet"],
+        choices=["block", "save-attn", "ff", "resnet", "resnet-dots"],
         default="save-attn",
         help="remat granularity when --gradient-checkpointing is on "
         "(block = max savings, save-attn = keep flash residuals, ff = FFs only)",

@@ -114,12 +114,25 @@ def _overlay_replicated(overlay_fn, base_params, adapters, lora_cfg: LoraConfig,
     """Apply/merge the LoRA overlay and gather the result fully replicated, as
     ONE collective jit — safe from TP-sharded base params in multi-host runs
     (every process must call this; host copies land where replication makes
-    all shards addressable)."""
+    all shards addressable).
+
+    ``merge_lora``'s safe-merge NaN check needs concrete values (a traced
+    bool cannot branch), so the overlay MATH runs inside the collective jit
+    (merge math == apply math) and the check runs host-side on the gathered
+    result — same raise-on-NaN contract (reference lora_layers.py:204-223),
+    jit-safe. Caught by the 2-process PEFT worker: jitting merge_lora
+    directly threw TracerBoolConversionError, which also broke every
+    single-process final merged-model export."""
     rep = replicated(mesh)
     out_sh = jax.tree.map(lambda _: rep, base_params)
-    eff = jax.jit(lambda b, a: overlay_fn(b, a, lora_cfg), out_shardings=out_sh)(base_params, adapters)
+    fn = apply_lora if overlay_fn is merge_lora else overlay_fn
+    eff = jax.jit(lambda b, a: fn(b, a, lora_cfg), out_shardings=out_sh)(base_params, adapters)
     if jax.process_count() > 1:
         eff = jax.tree.map(np.asarray, eff)
+    if overlay_fn is merge_lora:
+        for leaf in jax.tree.leaves(eff):
+            if not bool(jnp.isfinite(leaf).all()):
+                raise ValueError("NaNs detected in the merged weights. The adapter seems to be broken")
     return eff
 
 
@@ -420,7 +433,7 @@ def parse_args():
     p.add_argument("--gradient-checkpointing", action="store_true")
     p.add_argument(
         "--gradient-checkpointing-mode",
-        choices=["block", "save-attn", "ff", "resnet"],
+        choices=["block", "save-attn", "ff", "resnet", "resnet-dots"],
         default="save-attn",
     )
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
