@@ -311,20 +311,34 @@ def _fwd_kernel(
         # BASE-2 LSE for the backward: logits were base-2 and the backward
         # kernels stay in the exp2 domain end to end
         lse = m_ref[:] + jnp.log2(l)  # (rows, 1)
-        if dense:
+        if dense:  # dense = the stats block's row-group size g, 0 when padded
             rows = fold * bq
-            lse_ref[(b * nq + i) % 8] = lse.reshape(rows)
+            lse_ref[(b * nq + i) % dense] = lse.reshape(rows)
         else:
             lse_ref[0] = lse
 
 
-def _dense_stats_ok(B: int, nq: int) -> bool:
-    """Can softmax stats use the DENSE lane-major (B*nq, rows) layout? Its
-    (8, rows) blocks need the flattened q-block count divisible by 8. The
-    alternative — (B, QR, 1) with (rows, 1) blocks — lane-pads 128x in HBM:
-    at the production config that is a 134 MB transient per level-0 site and
-    a 256 KB (instead of 2 KB amortized) stats DMA per backward visit."""
-    return (B * nq) % 8 == 0
+def _dense_stats_group(B: int, nq: int, rows: int) -> int:
+    """Block row-count for the DENSE lane-major (B*nq, rows) softmax-stat
+    layout, or 0 when only the padded layout works. The alternative —
+    (B, QR, 1) with (rows, 1) blocks — lane-pads 128x in HBM: at the
+    production config that is a 134 MB transient per level-0 site and a
+    256 KB (instead of 2 KB amortized) stats DMA per backward visit.
+
+    Pallas needs the block's sublane dim divisible by 8 OR equal to the
+    array dim, so: (8, rows) groups when the flattened q-block count divides
+    8; otherwise ONE whole-array block — resident in VMEM for the entire
+    kernel — when it fits a 2 MB budget (the full-song inference shape,
+    nq=354, lands here)."""
+    if (B * nq) % 8 == 0:
+        return 8
+    if B * nq * rows * 4 <= (2 << 20):
+        return B * nq
+    return 0
+
+
+def _dense_stats_ok(B: int, nq: int, rows: int = 8) -> bool:
+    return _dense_stats_group(B, nq, rows) > 0
 
 
 def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None, dense=False):
@@ -342,7 +356,8 @@ def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None, dense=False
     rows = fold * bq
     nq = T // bq
     nk = S // bk
-    assert not dense or _dense_stats_ok(B, nq)
+    dense_g = _dense_stats_group(B, nq, rows) if dense else 0
+    assert not dense or dense_g
     n_visit = _span_visits(window, bq, bk, nk)
     local = window is not None
 
@@ -355,7 +370,7 @@ def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None, dense=False
 
     kernel = functools.partial(
         _fwd_kernel, bq=bq, bk=bk, nk=nk, nq=nq, fold=fold, window=window, fast=fast,
-        rope=rope is not None, dense=dense,
+        rope=rope is not None, dense=dense_g,
     )
 
     in_specs = [
@@ -379,12 +394,18 @@ def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None, dense=False
         scratch.append(pltpu.VMEM((rows, D), q.dtype))  # rotated-q block
 
     if dense:
-        lse_spec = pl.BlockSpec((8, rows), lambda b, i, j: ((b * nq + i) // 8, 0))
+        g = dense_g
+        lse_spec = pl.BlockSpec((g, rows), lambda b, i, j: ((b * nq + i) // g, 0))
         lse_shape = jax.ShapeDtypeStruct((B * nq, rows), jnp.float32)
-        # the (8, rows) lse block collects rows from 8 CONSECUTIVE q blocks,
+        # the (g, rows) lse block collects rows from g CONSECUTIVE q blocks,
         # so the q-block grid dim must iterate in order: "arbitrary", not
-        # "parallel" (sequential on a single TensorCore either way)
-        semantics = ("parallel", "arbitrary", "arbitrary")
+        # "parallel" (sequential on a single TensorCore either way); when one
+        # block spans ALL q blocks (whole-array resident), b too
+        semantics = (
+            "arbitrary" if g > nq else "parallel",
+            "arbitrary",
+            "arbitrary",
+        )
     else:
         lse_spec = pl.BlockSpec((1, rows, 1), lambda b, i, j: (b, i, 0))
         lse_shape = jax.ShapeDtypeStruct(_stats_shape(B, nq, rows), jnp.float32)
@@ -553,10 +574,10 @@ def _bwd_fused_kernel(
     k = k_ref[0]  # (bk, D)
     v = v_ref[0]
     do = do_ref[0].reshape(rows, D)
-    if dense:
-        # one lane-major row of the (8, rows) stats block -> (rows, 1): the
+    if dense:  # dense = the stats block's row-group size g, 0 when padded
+        # one lane-major row of the (g, rows) stats block -> (rows, 1): the
         # in-register relayout replaces a 256 KB lane-padded DMA per visit
-        row = (b * nq + ii) % 8
+        row = (b * nq + ii) % dense
         lse = lse_ref[row].reshape(rows, 1) - math.log2(LN2)
         delta = delta_ref[row].reshape(rows, 1)
     else:
@@ -620,15 +641,17 @@ def _flash_bwd_fused(fold, bq, bk, res, g, rope=None, dense=False):
     rows = fold * bq
     nq = T // bq
     nk = S // bk
-    dense = dense and _dense_stats_ok(B, nq)
+    dense_g = _dense_stats_group(B, nq, rows) if dense else 0
+    dense = dense_g > 0
 
     delta_flat = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     if dense:
         # lse arrived dense (B*nq_f, rows_f); both it and delta reshape FREELY
         # to this call's blocking (same flat (B, T*fold) row-major order)
+        g = dense_g
         lse_op = lse.reshape(B * nq, rows)
         delta_op = delta_flat.reshape(B * nq, rows)
-        stats_spec = pl.BlockSpec((8, rows), lambda b, jk, ii: ((b * nq + ii) // 8, 0))
+        stats_spec = pl.BlockSpec((g, rows), lambda b, jk, ii: ((b * nq + ii) // g, 0))
     else:
         # padded-column layout; if the residual came in dense, re-expand
         lse_op = lse.reshape(_stats_shape(B, nq, rows)[:-1])[..., None]
@@ -650,7 +673,7 @@ def _flash_bwd_fused(fold, bq, bk, res, g, rope=None, dense=False):
 
     dk, dv, dq_parts = pl.pallas_call(
         functools.partial(
-            _bwd_fused_kernel, bq=bq, bk=bk, nq=nq, fold=fold, rope=rope is not None, dense=dense
+            _bwd_fused_kernel, bq=bq, bk=bk, nq=nq, fold=fold, rope=rope is not None, dense=dense_g
         ),
         grid=(B, nk, nq),
         in_specs=in_specs,
@@ -1462,10 +1485,15 @@ def flash_attention(
                 jnp.repeat((sin * scale).astype(q.dtype), fold, axis=0),
             )
         ck, sk = cos.astype(k.dtype), sin.astype(k.dtype)
-        # dense lane-major softmax stats whenever the global layout tiles
-        # (_dense_stats_ok); windowed training keeps the padded layout (its
-        # split backward kernels read the column form)
-        dense = window is None and _dense_stats_ok(B, q.shape[1] // bq)
+        # dense lane-major softmax stats whenever the layout tiles
+        # (_dense_stats_group). Windowed TRAINING keeps the padded layout (its
+        # split backward kernels read the column form), but forward-only
+        # windowed inference — full-song generation — uses dense too: its lse
+        # is discarded, and the padded write alone is ~185 MB per site per
+        # sampler step at the fullsong length
+        dense = _dense_stats_ok(B, q.shape[1] // bq, fold * bq) and (
+            window is None or _INFERENCE.get()
+        )
         if _INFERENCE.get():
             k_rot = _rotate_rank3(k.reshape(B, S, D), ck, sk)
             o, _ = _flash_fwd(
@@ -1486,7 +1514,11 @@ def flash_attention(
     q = q * jnp.asarray(scale, q.dtype)
     if tfold > 1:
         q = q.reshape(B, T // tfold, tfold, D)
-    dense = window is None and _dense_stats_ok(B, q.shape[1] // bq)
+    # see the fused-rope branch: dense stats also cover windowed INFERENCE
+    # (forward-only — the split windowed backward reads the padded form)
+    dense = _dense_stats_ok(B, q.shape[1] // bq, fold * bq) and (
+        window is None or _INFERENCE.get()
+    )
     o = _flash_attention_seqmajor(
         q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window, _INFERENCE.get(), dense
     )

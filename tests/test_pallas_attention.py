@@ -454,3 +454,46 @@ def test_dense_stats_with_fused_rope_grads():
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gr), atol=2e-3, rtol=2e-3, err_msg=f"d{name} mismatch"
         )
+
+
+def test_dense_stats_whole_array_group():
+    """Shapes whose flattened q-block count does NOT divide 8 (the full-song
+    inference length T=22656 -> nq=354 is one) fall back to ONE whole-array
+    stats block resident in VMEM. T=768/H=16 gives nq=12: exercises that
+    branch, forward + grads vs reference."""
+    from osufusion_tpu.ops.pallas_attention import _choose_blocks, _dense_stats_group
+
+    q, k, v = make_qkv(B=1, T=768, H=16, Kv=1, seed=17)
+    bq, bk, fold = _choose_blocks(768, 768, 16)
+    g = _dense_stats_group(1, 768 // bq, fold * bq)
+    assert g == 768 // bq and g % 8 != 0, f"expected the whole-array group, got g={g}"
+
+    def loss_flash(q, k, v):
+        return (pa.flash_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    def loss_naive(q, k, v):
+        return (gqa_attention(q, k, v).astype(jnp.float32) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pa.flash_attention(q, k, v)
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gqa_attention(q, k, v)), atol=2e-5, rtol=2e-5)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for gf, gn, name in zip(g_flash, g_naive, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gn), atol=2e-3, rtol=2e-3, err_msg=f"d{name} mismatch"
+        )
+
+
+def test_dense_stats_windowed_inference_forward():
+    """Forward-only windowed inference (the full-song sampler's regime) uses
+    dense stats too — output must match the masked reference."""
+    from osufusion_tpu.ops.pallas_attention import inference_attention
+
+    q, k, v = make_qkv(B=1, T=768, H=16, Kv=1, seed=19, dtype=jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        with inference_attention():
+            out = pa.flash_attention(q, k, v, window=256)
+    ref = gqa_attention(q, k, v, window=256)
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32)).max()
+    assert err < 0.03, f"windowed dense inference error {err}"
