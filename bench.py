@@ -167,6 +167,8 @@ def bench_train() -> dict:
     remat = os.environ.get("BENCH_REMAT", "1") == "1"
     remat_mode = os.environ.get("BENCH_REMAT_MODE", "resnet")
     extra = {}
+    if os.environ.get("BENCH_REMAT_LEVELS"):
+        extra["remat_level_modes"] = tuple(os.environ["BENCH_REMAT_LEVELS"].split(","))
     if backbone in ("dit", "mmdit"):
         # DiT/MMDiT attention feeds the residual stream unprojected:
         # heads * dim_head must equal dim_h (nn/dit.py)
@@ -272,6 +274,11 @@ def bench_fullsong_train() -> dict:
     seq = int(os.environ.get("BENCH_SEQ", 65536))
     steps = int(os.environ.get("BENCH_STEPS", 5))
     remat_mode = os.environ.get("BENCH_REMAT_MODE", "block")
+    # BENCH_REMAT_MODE=mixed + BENCH_REMAT_LEVELS="save-attn,block,block,block"
+    # selects per-width-level modes (the full-song policy; config.py)
+    extra = {}
+    if os.environ.get("BENCH_REMAT_LEVELS"):
+        extra["remat_level_modes"] = tuple(os.environ["BENCH_REMAT_LEVELS"].split(","))
 
     cfg = Config(
         model=ModelConfig(
@@ -280,6 +287,7 @@ def bench_fullsong_train() -> dict:
             param_dtype="bfloat16",
             remat=True,
             remat_mode=remat_mode,
+            **extra,
         ),
         diffusion=DiffusionConfig(),
         train=TrainConfig(batch_size=batch, total_steps=10**6, warmup_steps=1000, lr=1e-5, full_bf16=True),
@@ -289,6 +297,7 @@ def bench_fullsong_train() -> dict:
         "batch": batch,
         "seq": seq,
         "remat_mode": remat_mode,
+        **({"remat_level_modes": list(cfg.model.remat_level_modes)} if remat_mode == "mixed" else {}),
         "device": jax.devices()[0].device_kind,
     }
 
@@ -317,14 +326,28 @@ def bench_fullsong_train() -> dict:
             )
         )
 
+        # AOT lower/compile: memory_analysis() gives the compiler's true HBM
+        # picture (memory_stats() is empty on the tunneled axon backend)
         t0 = time.perf_counter()
-        state, metrics = step_fn(state, batch_data)
-        _ = float(metrics["loss"])
+        compiled = step_fn.lower(state, batch_data).compile()
         detail["compile_s"] = round(time.perf_counter() - t0, 1)
+        try:
+            ma = compiled.memory_analysis()
+            detail["hbm"] = {
+                "temp_bytes": int(ma.temp_size_in_bytes),
+                "argument_bytes": int(ma.argument_size_in_bytes),
+                "output_bytes": int(ma.output_size_in_bytes),
+                "alias_bytes": int(ma.alias_size_in_bytes),
+            }
+        except Exception:
+            pass
+
+        state, metrics = compiled(state, batch_data)
+        _ = float(metrics["loss"])
 
         t0 = time.perf_counter()
         for _ in range(steps):
-            state, metrics = step_fn(state, batch_data)
+            state, metrics = compiled(state, batch_data)
         _ = float(metrics["loss"])
         dt = (time.perf_counter() - t0) / steps
     except Exception as e:  # document the OOM point rather than crash
@@ -357,7 +380,7 @@ def bench_fullsong_train() -> dict:
             "mfu": round(model_flops / dt / peak * 100.0, 2),
             "hfu": round(executed_flops / dt / peak * 100.0, 2),
             "model_flops_per_step": model_flops,
-            "hbm": hbm(),
+            "hbm": {**detail.get("hbm", {}), **hbm()},
         }
     )
     return {

@@ -76,7 +76,20 @@ class ModelConfig:
     #                 GroupNorm/FiLM/SiLU elementwise chains still recompute —
     #                 trades ~2 conv-output tensors of HBM per block for
     #                 skipping the conv recompute FLOPs in the backward.
+    #   "mixed"     — PER-LEVEL modes from ``remat_level_modes``: entry i
+    #                 applies to width level i (down_i, audio_i and the
+    #                 up level of the same width; the middle follows the
+    #                 narrowest level). The full-song (T=65536) regime needs
+    #                 this: "block" everywhere fits 15.75 GB but re-runs
+    #                 every flash forward (~25% of executed FLOPs), while
+    #                 every single-mode alternative OOMs — saving just the
+    #                 widest level's attention residuals buys back the
+    #                 single largest recompute item (the level-0 windowed
+    #                 attention) for a few GB.
     remat_mode: str = "save-attn"
+    # per-width-level remat modes, read only when remat_mode == "mixed";
+    # missing entries repeat the last one
+    remat_level_modes: Tuple[str, ...] = ("save-attn", "block", "block", "block")
     # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
     attn_backend: str = "auto"
     # sliding-window local attention with window = the level's context length.

@@ -42,18 +42,31 @@ X_PAD_VALUE = -1.0
 A_PAD_VALUE = -23.0
 
 
-def _remat_plan(cfg: ModelConfig):
-    """(block_cls, remat_inner mode) for the configured remat mode."""
+def level_remat_mode(cfg: ModelConfig, level: int) -> str:
+    """Effective remat mode at width level ``level`` (0 = widest). For
+    remat_mode="mixed" this reads ``remat_level_modes`` (missing entries
+    repeat the last); every other mode applies uniformly."""
     if not cfg.remat:
-        return UNetBlock, "none"
-    if cfg.remat_mode == "block":
+        return "none"
+    if cfg.remat_mode != "mixed":
+        return cfg.remat_mode
+    modes = cfg.remat_level_modes or ("save-attn",)
+    return modes[min(level, len(modes) - 1)]
+
+
+def _remat_plan(cfg: ModelConfig, level: int = 0):
+    """(block_cls, remat_inner mode) for width level ``level``."""
+    mode = level_remat_mode(cfg, level)
+    if mode == "block":
         return nn.remat(UNetBlock), "none"
-    if cfg.remat_mode == "ff":
+    if mode == "ff":
         return UNetBlock, "ff"  # remat FFs only; resnets + attention saved
-    if cfg.remat_mode == "resnet":
+    if mode == "resnet":
         return UNetBlock, "resnet"  # remat resnets only; FFs + attention saved
-    if cfg.remat_mode == "resnet-dots":
+    if mode == "resnet-dots":
         return UNetBlock, "resnet-dots"  # remat resnets, conv outputs saved
+    if mode == "none":
+        return UNetBlock, "none"
     return UNetBlock, "inner"  # save-attn: remat resnets+FFs, attention saved
 
 
@@ -158,8 +171,8 @@ class AudioEncoder(nn.Module):
 
         dims_h = (cfg.dim_h, *[cfg.dim_h * m for m in cfg.dim_h_mult])
         n_layers = len(cfg.dim_h_mult)
-        block_cls, remat_inner = _remat_plan(cfg)
         for i in range(n_layers):
+            block_cls, remat_inner = _remat_plan(cfg, i)
             x, _ = block_cls(
                 dim_in=dims_h[i],
                 dim_out=dims_h[i + 1],
@@ -202,10 +215,9 @@ class UNet(nn.Module):
 
         dims_h = (cfg.dim_h, *[cfg.dim_h * m for m in cfg.dim_h_mult])
         n_layers = len(cfg.dim_h_mult)
-        block_cls, remat_inner = _remat_plan(cfg)
 
         self.down_layers = [
-            block_cls(
+            _remat_plan(cfg, i)[0](
                 dim_in=dims_h[i],
                 dim_out=dims_h[i + 1],
                 has_time_cond=True,
@@ -219,13 +231,14 @@ class UNet(nn.Module):
                 attn_context_len=cfg.attn_context_len // (2**i),
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
-                remat_inner=remat_inner,
+                remat_inner=_remat_plan(cfg, i)[1],
                 quant=cfg.quant,
                 **common,
                 name=f"down_{i}",
             )
             for i in range(n_layers)
         ]
+        mid_inner = _remat_plan(cfg, n_layers - 1)[1]
 
         bottleneck_ctx = cfg.attn_context_len // (2 ** (n_layers - 1))
         self.middle_resnet1 = ResidualBlock(dims_h[-1], quant=cfg.quant, **common, name="middle_resnet1")
@@ -238,7 +251,7 @@ class UNet(nn.Module):
                 attn_context_len=bottleneck_ctx,
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
-                remat_ff=remat_inner in ("inner", "ff"),
+                remat_ff=mid_inner in ("inner", "ff"),
                 quant=cfg.quant,
                 **common,
                 name=f"middle_transformer_{i}",
@@ -249,8 +262,10 @@ class UNet(nn.Module):
 
         in_out_rev = list(reversed(list(zip(dims_h[:-1], dims_h[1:]))))
         blocks_rev = tuple(reversed(cfg.num_layer_blocks))
+        # up layer i sits at width level n_layers-1-i (i = n_layers-1 is the
+        # widest): its remat mode follows that level's plan
         self.up_layers = [
-            block_cls(
+            _remat_plan(cfg, n_layers - 1 - i)[0](
                 dim_in=layer_dim_in,
                 dim_out=layer_dim_out,
                 has_time_cond=True,
@@ -264,7 +279,7 @@ class UNet(nn.Module):
                 attn_context_len=cfg.attn_context_len // (2 ** (n_layers - i - 1)),
                 attn_backend=cfg.attn_backend,
                 attn_local=cfg.attn_local,
-                remat_inner=remat_inner,
+                remat_inner=_remat_plan(cfg, n_layers - 1 - i)[1],
                 quant=cfg.quant,
                 **common,
                 name=f"up_{i}",

@@ -431,9 +431,20 @@ def _flash_fwd(q, k, v, fold, bq, bk, window, fast=False, rope=None, dense=False
 # ---------------------------------------------------------------- backward
 
 
-def _dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc, *, bq, bk, nk, fold, window
-):
+def _dq_kernel(*refs, bq, bk, nk, nq, fold, window, rope, dense):
+    """Split dq kernel (windowed sites). With ``rope`` q arrives RAW plus its
+    scale-carrying cos/sin table blocks: rotated once per q block into VMEM
+    scratch (it is pinned across the kv sweep), and the finished dq is
+    un-rotated IN-REGISTER at finalize so it lands in the raw q's frame.
+    With ``dense`` the softmax stats arrive as lane-major (g, rows) blocks
+    (one in-register row relayout per q block instead of a 128x lane-padded
+    (rows, 1) DMA per block — see _dense_stats_group)."""
+    if rope:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, cq_ref, sq_ref,
+         dq_ref, dq_acc, qrot_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_acc = refs
+    b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     n_visit = pl.num_programs(2)
@@ -441,6 +452,10 @@ def _dq_kernel(
     @pl.when(j == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
+        if rope:
+            rows = fold * bq
+            qr = q_ref[0].reshape(rows, q_ref.shape[-1])
+            qrot_ref[:] = qr * cq_ref[:] + _rot_half(qr) * sq_ref[:]
 
     virtual = (i * bq - window // 2) // bk + j if window is not None else j
     valid = jnp.logical_and(virtual >= 0, virtual < nk) if window is not None else (j >= 0)
@@ -449,7 +464,7 @@ def _dq_kernel(
     def _update():
         rows = fold * bq
         D = q_ref.shape[-1]
-        q = q_ref[0].reshape(rows, D)
+        q = qrot_ref[:] if rope else q_ref[0].reshape(rows, D)
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0].reshape(rows, D)
@@ -457,8 +472,13 @@ def _dq_kernel(
         # exp2(s - lse) = ln2 * p, which IS the ds chain-rule constant
         # (s_e = ln2 * s_2) — so the whole dq path runs without a single
         # full-chunk scale pass
-        lse = lse_ref[0] - math.log2(LN2)
-        delta = delta_ref[0]
+        if dense:  # dense = the stats block's row-group size g, 0 when padded
+            row = (b * nq + i) % dense
+            lse = lse_ref[row].reshape(rows, 1) - math.log2(LN2)
+            delta = delta_ref[row].reshape(rows, 1)
+        else:
+            lse = lse_ref[0] - math.log2(LN2)
+            delta = delta_ref[0]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = _masked(s, i * bq, virtual * bk, window, fold)
@@ -475,13 +495,27 @@ def _dq_kernel(
     def _finalize():
         # already in the PRE-SCALED q's frame incl. the ln2 chain-rule
         # factor (folded into the lse shift above): emitted final
-        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype).reshape(dq_ref.shape[1:])
+        dq = dq_acc[:]
+        if rope:
+            # adjoint of the q rotation, in-register (scale-carrying tables):
+            # the write below lands directly in the RAW q's frame
+            dq = _unrotate(dq, cq_ref[:].astype(jnp.float32), sq_ref[:].astype(jnp.float32))
+        dq_ref[0] = dq.astype(dq_ref.dtype).reshape(dq_ref.shape[1:])
 
 
-def _dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-    *, bq, bk, nq, fold, window,
-):
+def _dkv_kernel(*refs, bq, bk, nq, fold, window, rope, dense):
+    """Split dkv kernel (windowed sites). With ``rope`` each visited q block
+    is rotated in-register (q changes per visit, so no scratch reuse); dk
+    leaves in the ROTATED frame and its un-rotation is a tiny XLA pass on the
+    rank-3 MQA k. With ``dense`` the stats blocks follow the VISITED q block
+    (dynamic block index + dynamic in-register row pick)."""
+    if rope:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, cq_ref, sq_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    b = pl.program_id(0)
     jk = pl.program_id(1)  # kv block
     ii = pl.program_id(2)  # visited folded q block
     n_visit = pl.num_programs(2)
@@ -499,11 +533,21 @@ def _dkv_kernel(
         rows = fold * bq
         D = q_ref.shape[-1]
         q = q_ref[0].reshape(rows, D)
+        if rope:
+            q = q * cq_ref[:] + _rot_half(q) * sq_ref[:]
         k = k_ref[0]  # (bk, D)
         v = v_ref[0]
         do = do_ref[0].reshape(rows, D)
-        lse = lse_ref[0]  # (rows, 1), base-2
-        delta = delta_ref[0]
+        if dense:
+            # the fetched (g, rows) stats block contains the VISITED q block
+            # jj's row (the index map clips like the q block's): pick it
+            jj = jnp.clip(virtual, 0, nq - 1)
+            row = (b * nq + jj) % dense
+            lse = lse_ref[row].reshape(rows, 1)  # base-2
+            delta = delta_ref[row].reshape(rows, 1)
+        else:
+            lse = lse_ref[0]  # (rows, 1), base-2
+            delta = delta_ref[0]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         s = _masked(s, virtual * bq, jk * bk, window, fold)
@@ -702,11 +746,10 @@ def _flash_bwd_fused(fold, bq, bk, res, g, rope=None, dense=False):
     return dq, dk, dv
 
 
-def _flash_bwd(fold, bq, bk, window, res, g, dense=False):
+def _flash_bwd(fold, bq, bk, window, res, g, rope=None, dense=False):
     if window is None:
-        return _flash_bwd_fused(fold, bq, bk, res, g, dense=dense)
+        return _flash_bwd_fused(fold, bq, bk, res, g, rope=rope, dense=dense)
     q, k, v, o, lse = res
-    lse = lse[..., None]  # residual stored squeezed; kernels want (B, QR, 1)
     do, _ = g
     B, T, H, D = q.shape
     S = k.shape[1]
@@ -717,59 +760,98 @@ def _flash_bwd(fold, bq, bk, window, res, g, dense=False):
     rows = fold * bq
     nq = T // bq
     nk = S // bk
+    dense_g = _dense_stats_group(B, nq, rows) if dense else 0
+    dense = dense_g > 0
     n_visit_k = _span_visits(window, bq, bk, nk)
     n_visit_q = _span_visits(window, bk, bq, nq)
-    local = window is not None
 
-    # per-row delta in the kernels' stats layout: a pure reshape of (B, T, H)
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1).reshape(
-        _stats_shape(B, nq, rows)
-    )
+    # per-row delta: a pure reshape of (B, T, H) into the stats layout
+    delta_flat = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if dense:
+        # lane-major (B*nq, rows) stats — both the residual lse and delta
+        # reshape FREELY (same flat (B, T*fold) t-major order); the kernels
+        # pick their row in-register instead of paying the 128x lane-padded
+        # (rows, 1) DMA per block (512 KB/visit at the full-song config)
+        gr = dense_g
+        lse_op = lse.reshape(B * nq, rows)
+        delta_op = delta_flat.reshape(B * nq, rows)
+        dq_stats_spec = pl.BlockSpec((gr, rows), lambda b, i, j: ((b * nq + i) // gr, 0))
+    else:
+        lse_op = lse.reshape(_stats_shape(B, nq, rows))
+        delta_op = delta_flat.reshape(_stats_shape(B, nq, rows))
+        dq_stats_spec = pl.BlockSpec((1, rows, 1), lambda b, i, j: (b, i, 0))
 
     def kv_index(b, i, j):
-        jj = jnp.clip((i * bq - window // 2) // bk + j, 0, nk - 1) if local else j
-        return (b, jj, 0)
+        return (b, jnp.clip((i * bq - window // 2) // bk + j, 0, nk - 1), 0)
 
-    stats_spec = pl.BlockSpec((1, rows, 1), lambda b, i, j: (b, i, 0))
+    in_specs = [
+        pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
+        pl.BlockSpec((1, bk, D), kv_index),
+        pl.BlockSpec((1, bk, D), kv_index),
+        pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
+        dq_stats_spec,
+        dq_stats_spec,
+    ]
+    operands = [q, k, v, do, lse_op, delta_op]
+    scratch = [pltpu.VMEM((rows, D), jnp.float32)]
+    if rope is not None:
+        q_table_spec = pl.BlockSpec((rows, D), lambda b, i, j: (i, 0))
+        in_specs += [q_table_spec, q_table_spec]
+        operands += list(rope)  # (cos_q, sin_q) row-expanded, scale-carrying
+        scratch.append(pltpu.VMEM((rows, D), q.dtype))  # rotated-q block
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, bq=bq, bk=bk, nk=nk, fold=fold, window=window),
+        functools.partial(
+            _dq_kernel, bq=bq, bk=bk, nk=nk, nq=nq, fold=fold, window=window,
+            rope=rope is not None, dense=dense_g,
+        ),
         grid=(B, nq, n_visit_k),
-        in_specs=[
-            pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
-            pl.BlockSpec((1, bk, D), kv_index),
-            pl.BlockSpec((1, bk, D), kv_index),
-            pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
-            stats_spec,
-            stats_spec,
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, H, D), lambda b, i, j: (b, i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, T, H, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((rows, D), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
-    )(q, k, v, do, lse, delta)
+    )(*operands)
+
+    def visited_q(b, jk, ii):
+        return jnp.clip((jk * bk - window // 2) // bq + ii, 0, nq - 1)
 
     def q_index(b, jk, ii):
-        jj = jnp.clip((jk * bk - window // 2) // bq + ii, 0, nq - 1) if local else ii
-        return (b, jj, 0, 0)
+        return (b, visited_q(b, jk, ii), 0, 0)
 
-    def stats_index(b, jk, ii):  # lse/delta follow the visited q blocks
-        jj = jnp.clip((jk * bk - window // 2) // bq + ii, 0, nq - 1) if local else ii
-        return (b, jj, 0)
+    if dense:
+        gr = dense_g
+        dkv_stats_spec = pl.BlockSpec(
+            (gr, rows), lambda b, jk, ii: ((b * nq + visited_q(b, jk, ii)) // gr, 0)
+        )
+    else:
+        dkv_stats_spec = pl.BlockSpec(
+            (1, rows, 1), lambda b, jk, ii: (b, visited_q(b, jk, ii), 0)
+        )
+
+    in_specs = [
+        pl.BlockSpec((1, bq, H, D), q_index),
+        pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+        pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
+        pl.BlockSpec((1, bq, H, D), q_index),
+        dkv_stats_spec,
+        dkv_stats_spec,
+    ]
+    operands = [q, k, v, do, lse_op, delta_op]
+    if rope is not None:
+        q_table_spec = pl.BlockSpec((rows, D), lambda b, jk, ii: (visited_q(b, jk, ii), 0))
+        in_specs += [q_table_spec, q_table_spec]
+        operands += list(rope)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, bq=bq, bk=bk, nq=nq, fold=fold, window=window),
+        functools.partial(
+            _dkv_kernel, bq=bq, bk=bk, nq=nq, fold=fold, window=window,
+            rope=rope is not None, dense=dense_g,
+        ),
         grid=(B, nk, n_visit_q),
-        in_specs=[
-            pl.BlockSpec((1, bq, H, D), q_index),
-            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
-            pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
-            pl.BlockSpec((1, bq, H, D), q_index),
-            pl.BlockSpec((1, rows, 1), stats_index),
-            pl.BlockSpec((1, rows, 1), stats_index),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
             pl.BlockSpec((1, bk, D), lambda b, jk, ii: (b, jk, 0)),
@@ -785,10 +867,11 @@ def _flash_bwd(fold, bq, bk, window, res, g, dense=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")
         ),
-    )(q, k, v, do, lse, delta)
+    )(*operands)
 
     # chain-rule ln2 constants are already inside the kernels (dq via the
-    # lse shift, dk in its finalize) — no whole-tensor scale passes here
+    # lse shift, dk in its finalize) — no whole-tensor scale passes here;
+    # with rope, dk leaves ROTATED (the caller un-rotates the tiny rank-3 k)
     return dq, dk, dv
 
 
@@ -1356,31 +1439,33 @@ def _rotate_rank3(x, cos, sin):
     return x * cos.astype(x.dtype) + rot * sin.astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _flash_attention_rope(q, k, v, cq, sq, ck, sk, fold, bq, bk, dense=False):
-    """GLOBAL flash attention with the q-side rotary embedding fused into
-    BOTH the forward and backward kernels: q arrives RAW, its tables carry
-    scale*log2e (exactly the inference fused-RoPE contract, _flash_fwd), the
-    forward rotates it once per block into VMEM scratch, and the backward
-    reproduces the logits the same way, emitting rotated-frame gradients
-    that XLA un-rotates in fused epilogues. k (MQA-small) rotates in XLA.
-    The whole-tensor rotate-half passes over the 16-head q — ~15 ms/step of
-    pure HBM traffic at the production config (round-5 trace) — disappear."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _flash_attention_rope(q, k, v, cq, sq, ck, sk, fold, bq, bk, window, dense=False):
+    """Flash attention (global OR windowed) with the q-side rotary embedding
+    fused into BOTH the forward and backward kernels: q arrives RAW, its
+    tables carry scale*log2e (exactly the inference fused-RoPE contract,
+    _flash_fwd), the forward rotates it once per block into VMEM scratch,
+    and the backward reproduces the logits the same way, emitting
+    rotated-frame gradients that XLA un-rotates in fused epilogues
+    (dq un-rotates IN-REGISTER in both the fused and the split-dq kernels).
+    k (MQA-small) rotates in XLA. The whole-tensor rotate-half passes over
+    the 16-head q — ~15 ms/step of pure HBM traffic at the production
+    config (round-5 trace) — disappear."""
     k_rot = _rotate_rank3(k, ck, sk)
-    o, _ = _flash_fwd(q, k_rot, v, fold, bq, bk, None, fast=False, rope=(cq, sq), dense=dense)
+    o, _ = _flash_fwd(q, k_rot, v, fold, bq, bk, window, fast=False, rope=(cq, sq), dense=dense)
     return o
 
 
-def _rope_fwd_rule(q, k, v, cq, sq, ck, sk, fold, bq, bk, dense=False):
+def _rope_fwd_rule(q, k, v, cq, sq, ck, sk, fold, bq, bk, window, dense=False):
     k_rot = _rotate_rank3(k, ck, sk)
-    o, lse = _flash_fwd(q, k_rot, v, fold, bq, bk, None, fast=False, rope=(cq, sq), dense=dense)
+    o, lse = _flash_fwd(q, k_rot, v, fold, bq, bk, window, fast=False, rope=(cq, sq), dense=dense)
     return o, (q, k_rot, v, o, lse if dense else lse[..., 0], cq, sq, ck, sk)
 
 
-def _rope_bwd_rule(fold, bq, bk, dense, res, g):
+def _rope_bwd_rule(fold, bq, bk, window, dense, res, g):
     q, k_rot, v, o, lse, cq, sq, ck, sk = res
-    dq, dk_rot, dv = _flash_bwd_fused(
-        fold, bq, bk, (q, k_rot, v, o, lse), (g, None), rope=(cq, sq), dense=dense
+    dq, dk_rot, dv = _flash_bwd(
+        fold, bq, bk, window, (q, k_rot, v, o, lse), (g, None), rope=(cq, sq), dense=dense
     )
     # adjoint of k's XLA rotation back into the RAW k's frame (tiny tensor)
     dk = _unrotate(
@@ -1457,14 +1542,14 @@ def flash_attention(
     assert bq and bk, f"untileable shape T={T} S={S}; guard with flash_attention_available"
 
     scale = D**-0.5 * LOG2E
-    fuse_rope = rope is not None and T == S and (window is None or _INFERENCE.get())
+    fuse_rope = rope is not None and T == S
     if fuse_rope:
         # fuse the rotary embedding into the kernel — the whole-tensor
         # rotate-half read/write passes over q and k disappear. The q tables
         # absorb the softmax/exp2 scale (tables are tiny). On the training
-        # path (global sites only) the fused backward un-rotates dq/dk
-        # in-register (_flash_attention_rope); windowed sites keep the XLA
-        # rope below (their backward runs the split dq/dkv kernels).
+        # path the fused (global) or split (windowed) backward kernels
+        # rotate q in-register and un-rotate dq in-register
+        # (_flash_attention_rope -> _flash_bwd).
         # The table blocks + rotate temporaries need VMEM headroom: halve the
         # folded rows vs the plain config.
         cos, sin = rope
@@ -1486,14 +1571,11 @@ def flash_attention(
             )
         ck, sk = cos.astype(k.dtype), sin.astype(k.dtype)
         # dense lane-major softmax stats whenever the layout tiles
-        # (_dense_stats_group). Windowed TRAINING keeps the padded layout (its
-        # split backward kernels read the column form), but forward-only
-        # windowed inference — full-song generation — uses dense too: its lse
-        # is discarded, and the padded write alone is ~185 MB per site per
-        # sampler step at the fullsong length
-        dense = _dense_stats_ok(B, q.shape[1] // bq, fold * bq) and (
-            window is None or _INFERENCE.get()
-        )
+        # (_dense_stats_group) — on every path: the global fused backward,
+        # the windowed split backward (dynamic-row picks) and forward-only
+        # inference (whose lse is discarded; the padded write alone is
+        # ~185 MB per site per sampler step at the fullsong length)
+        dense = _dense_stats_ok(B, q.shape[1] // bq, fold * bq)
         if _INFERENCE.get():
             k_rot = _rotate_rank3(k.reshape(B, S, D), ck, sk)
             o, _ = _flash_fwd(
@@ -1502,7 +1584,8 @@ def flash_attention(
             )
         else:
             o = _flash_attention_rope(
-                q, k.reshape(B, S, D), v.reshape(B, S, D), *q_tables, ck, sk, fold, bq, bk, dense
+                q, k.reshape(B, S, D), v.reshape(B, S, D), *q_tables, ck, sk,
+                fold, bq, bk, window, dense,
             )
         return o.reshape(B, T, H, D) if tfold > 1 else o
     if rope is not None:
@@ -1514,11 +1597,8 @@ def flash_attention(
     q = q * jnp.asarray(scale, q.dtype)
     if tfold > 1:
         q = q.reshape(B, T // tfold, tfold, D)
-    # see the fused-rope branch: dense stats also cover windowed INFERENCE
-    # (forward-only — the split windowed backward reads the padded form)
-    dense = _dense_stats_ok(B, q.shape[1] // bq, fold * bq) and (
-        window is None or _INFERENCE.get()
-    )
+    # see the fused-rope branch: dense stats engage on every path
+    dense = _dense_stats_ok(B, q.shape[1] // bq, fold * bq)
     o = _flash_attention_seqmajor(
         q, k.reshape(B, S, D), v.reshape(B, S, D), fold, bq, bk, window, _INFERENCE.get(), dense
     )

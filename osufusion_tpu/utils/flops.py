@@ -110,53 +110,69 @@ def unet_fwd_flops(cfg: ModelConfig, batch: int, seq: int) -> float:
     return total
 
 
+def _unet_level_modes(cfg: ModelConfig, remat_mode: str) -> list[str]:
+    """Per-width-level effective remat mode (mirrors nn.unet.level_remat_mode)."""
+    n = len(cfg.dim_h_mult)
+    if remat_mode != "mixed":
+        return [remat_mode] * n
+    modes = cfg.remat_level_modes or ("save-attn",)
+    return [modes[min(i, len(modes) - 1)] for i in range(n)]
+
+
 def unet_remat_recompute_flops(
     cfg: ModelConfig, batch: int, seq: int, remat_mode: str = "save-attn"
 ) -> float:
     """Forward FLOPs actually re-executed in the backward under the given
-    remat mode. "save-attn": every ResidualBlock inside a UNetBlock plus
-    every transformer FeedForward (incl. the middle transformers); attention
-    modules, samplers, stems, middle resnets and the final head are NOT
-    rematerialized. "ff": the FeedForwards only. "resnet": the
-    ResidualBlocks only. "resnet-dots": the resblocks remat but their conv
-    (dot) outputs are SAVED by policy, so the re-executed work is elementwise
-    only — zero matmul FLOPs."""
+    remat mode. "block": the whole UNetBlock (resnets, transformers incl.
+    attention, sampler, FiLM mlps) re-runs. "save-attn": every ResidualBlock
+    inside a UNetBlock plus every transformer FeedForward (incl. the middle
+    transformers); attention modules, samplers, stems, middle resnets and
+    the final head are NOT rematerialized. "ff": the FeedForwards only.
+    "resnet": the ResidualBlocks only. "resnet-dots": the resblocks remat
+    but their conv (dot) outputs are SAVED by policy, so the re-executed
+    work is elementwise only — zero matmul FLOPs. "mixed": per-width-level
+    modes from cfg.remat_level_modes (the full-song policy)."""
     B, T = batch, seq
     h = cfg.dim_h
     dims = [h] + [h * m for m in cfg.dim_h_mult]
+    modes = _unet_level_modes(cfg, remat_mode)
     total = 0.0
-    resnets = remat_mode not in ("ff", "resnet-dots")
-    ffs = remat_mode not in ("resnet", "resnet-dots")
 
     def ff(t: int, dim: int) -> float:
-        if not ffs:
-            return 0.0
         return _dense(B, t, dim, dim * 2) + _dense(B, t, dim * 2, dim)
 
-    def stack() -> float:
-        f, t = 0.0, T
-        for i, din in enumerate(dims[:-1]):
-            n_blocks = cfg.num_layer_blocks[i]
-            if resnets:
-                f += _resblock(B, t, din, din) * (n_blocks + 1)  # init + per-block
+    def level(mode: str, t: int, din: int, dout: int, ctx: int, n_blocks: int,
+              first_in: int) -> float:
+        """Recompute of ONE UNetBlock (working dim ``din``, sampler to
+        ``dout``, concat-widened first resnet ``first_in``) under ``mode``."""
+        if mode in ("none", "resnet-dots"):
+            return 0.0
+        if mode == "block":
+            f = _resblock(B, t, first_in, din) + _resblock(B, t, din, din) * n_blocks
+            f += _transformer(B, t, din, cfg, ctx) * n_blocks
+            f += _conv(B, t, din, dout, 3)  # sampler
+            return f
+        f = 0.0
+        if mode in ("save-attn", "inner", "resnet"):
+            f += _resblock(B, t, first_in, din) + _resblock(B, t, din, din) * n_blocks
+        if mode in ("save-attn", "inner", "ff"):
             f += ff(t, din) * n_blocks
-            if i < len(dims) - 2:
-                t //= 2
         return f
 
-    total += stack() * 2  # down path + audio encoder (same topology)
-    tb = T // (2 ** (len(dims) - 2))
-    total += cfg.num_middle_transformers * ff(tb, dims[-1])
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        t = T // (2**i)
+        n_blocks = cfg.num_layer_blocks[i]
+        ctx = cfg.attn_context_len // (2**i)
+        # down + audio encoder (same topology, audio ctx base 4096) + the up
+        # block of the same width (working dim dims[i+1], widened first
+        # resnet from the skip concat)
+        total += level(modes[i], t, din, dout, ctx, n_blocks, din)
+        total += level(modes[i], t, din, dout, 4096 // (2**i), n_blocks, din)
+        total += level(modes[i], t, dout, din, ctx, n_blocks, dout + din)
 
-    t = tb  # up path mirrors down, with the concat-widened first resnet
-    for i, (dout, din) in enumerate(reversed(list(zip(dims[:-1], dims[1:])))):
-        n_blocks = tuple(reversed(cfg.num_layer_blocks))[i]
-        f_in = din + (dims[::-1][i + 1] if i + 1 < len(dims) else h)
-        if resnets:
-            total += _resblock(B, t, f_in, din) + _resblock(B, t, din, din) * n_blocks
-        total += ff(t, din) * n_blocks
-        if i < len(dims) - 2:
-            t *= 2
+    tb = T // (2 ** (len(dims) - 2))
+    if modes[-1] in ("save-attn", "inner", "ff"):
+        total += cfg.num_middle_transformers * ff(tb, dims[-1])
     return total
 
 
@@ -244,4 +260,5 @@ def train_step_flops(
         return fwd * 4.0
     if remat_mode == "block":
         return fwd * 4.0
+    # "mixed" and the partial modes share the exact per-level accounting
     return fwd * 3.0 + unet_remat_recompute_flops(cfg, batch, seq, remat_mode)

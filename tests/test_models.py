@@ -144,7 +144,9 @@ def test_remat_modes_are_memory_choices_not_math():
         return jax.value_and_grad(fn)(params)
 
     base_loss, base_grads = loss_and_grads(False, "save-attn")
-    for mode in ("block", "save-attn", "ff", "resnet"):
+    # "mixed" takes per-width-level modes (the full-song policy): the default
+    # remat_level_modes puts save-attn at the widest level, block below
+    for mode in ("block", "save-attn", "ff", "resnet", "mixed"):
         loss, grads = loss_and_grads(True, mode)
         np.testing.assert_allclose(float(loss), float(base_loss), rtol=1e-6)
         jax.tree.map(

@@ -262,10 +262,19 @@ def parse_args() -> Config:
     p.add_argument("--gradient-checkpointing", action="store_true")
     p.add_argument(
         "--gradient-checkpointing-mode",
-        choices=["block", "save-attn", "ff", "resnet", "resnet-dots"],
+        choices=["block", "save-attn", "ff", "resnet", "resnet-dots", "mixed"],
         default="save-attn",
         help="remat granularity when --gradient-checkpointing is on "
-        "(block = max savings, save-attn = keep flash residuals, ff = FFs only)",
+        "(block = max savings, save-attn = keep flash residuals, ff = FFs only, "
+        "mixed = per-width-level modes from --gradient-checkpointing-levels)",
+    )
+    p.add_argument(
+        "--gradient-checkpointing-levels",
+        type=str,
+        default="save-attn,block,block,block",
+        help='comma-separated per-width-level modes for mode "mixed" '
+        "(entry i = UNet width level i, widest first; missing entries repeat "
+        "the last) — the full-song T=65536 policy",
     )
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
     p.add_argument("--clip-grad-norm", type=float, default=0.0)
@@ -322,6 +331,7 @@ def parse_args() -> Config:
         quant="fp8" if args.mixed_precision == "fp8" else "none",
         remat=args.gradient_checkpointing,
         remat_mode=args.gradient_checkpointing_mode,
+        remat_level_modes=tuple(args.gradient_checkpointing_levels.split(",")),
     )
     diffusion = DiffusionConfig(objective=args.model_type)
     train_cfg = TrainConfig(

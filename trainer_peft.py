@@ -239,6 +239,7 @@ def adopt_pretrain_architecture(cfg: Config, model_path: Path | None) -> Config:
         quant=cfg.model.quant,
         remat=cfg.model.remat,
         remat_mode=cfg.model.remat_mode,
+        remat_level_modes=cfg.model.remat_level_modes,
         attn_backend=cfg.model.attn_backend,
     )
     return dataclasses.replace(cfg, model=model)
@@ -433,8 +434,14 @@ def parse_args():
     p.add_argument("--gradient-checkpointing", action="store_true")
     p.add_argument(
         "--gradient-checkpointing-mode",
-        choices=["block", "save-attn", "ff", "resnet", "resnet-dots"],
+        choices=["block", "save-attn", "ff", "resnet", "resnet-dots", "mixed"],
         default="save-attn",
+    )
+    p.add_argument(
+        "--gradient-checkpointing-levels",
+        type=str,
+        default="save-attn,block,block,block",
+        help='per-width-level modes for mode "mixed" (see trainer.py)',
     )
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
     p.add_argument("--clip-grad-norm", type=float, default=0.0)
@@ -484,6 +491,7 @@ def parse_args():
             quant="fp8" if args.mixed_precision == "fp8" else "none",
             remat=args.gradient_checkpointing,
             remat_mode=args.gradient_checkpointing_mode,
+            remat_level_modes=tuple(args.gradient_checkpointing_levels.split(",")),
         ),
         diffusion=DiffusionConfig(objective=args.model_type),
         train=TrainConfig(
