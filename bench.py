@@ -274,7 +274,7 @@ def bench_fullsong_train() -> dict:
     seq = int(os.environ.get("BENCH_SEQ", 65536))
     steps = int(os.environ.get("BENCH_STEPS", 5))
     remat_mode = os.environ.get("BENCH_REMAT_MODE", "block")
-    # BENCH_REMAT_MODE=mixed + BENCH_REMAT_LEVELS="save-attn,block,block,block"
+    # BENCH_REMAT_MODE=mixed + BENCH_REMAT_LEVELS="save-attn-out,block,block,block"
     # selects per-width-level modes (the full-song policy; config.py)
     extra = {}
     if os.environ.get("BENCH_REMAT_LEVELS"):

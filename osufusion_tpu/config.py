@@ -76,6 +76,10 @@ class ModelConfig:
     #                 GroupNorm/FiLM/SiLU elementwise chains still recompute —
     #                 trades ~2 conv-output tensors of HBM per block for
     #                 skipping the conv recompute FLOPs in the backward.
+    #   "save-attn-out" — whole-block remat under a save_only_these_names
+    #                 policy pinning the flash kernel's OUTPUTS (o, lse):
+    #                 backward re-runs the cheap projections but never the
+    #                 attention kernel, at ~half save-attn's saved bytes.
     #   "mixed"     — PER-LEVEL modes from ``remat_level_modes``: entry i
     #                 applies to width level i (down_i, audio_i and the
     #                 up level of the same width; the middle follows the
@@ -88,8 +92,11 @@ class ModelConfig:
     #                 attention) for a few GB.
     remat_mode: str = "save-attn"
     # per-width-level remat modes, read only when remat_mode == "mixed";
-    # missing entries repeat the last one
-    remat_level_modes: Tuple[str, ...] = ("save-attn", "block", "block", "block")
+    # missing entries repeat the last one. Default = the full-song policy:
+    # save-attn-out at the widest level (plain save-attn's q/k/v/o residuals
+    # overshoot the 15.75 GB v5e HBM by ~0.8 GB at T=65536 — measured),
+    # whole-block remat below.
+    remat_level_modes: Tuple[str, ...] = ("save-attn-out", "block", "block", "block")
     # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
     attn_backend: str = "auto"
     # sliding-window local attention with window = the level's context length.

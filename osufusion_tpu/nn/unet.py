@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -59,6 +60,15 @@ def _remat_plan(cfg: ModelConfig, level: int = 0):
     mode = level_remat_mode(cfg, level)
     if mode == "block":
         return nn.remat(UNetBlock), "none"
+    if mode == "save-attn-out":
+        # whole-block remat, but the policy pins the flash kernel's OUTPUTS
+        # (named in ops/pallas_attention's fwd rules): the backward re-runs
+        # the cheap projections/convs yet never the attention kernel itself,
+        # at ~o+lse of saved bytes per site instead of save-attn's q/k/v/o.
+        # This is the full-song (T=65536) level-0 mode: plain "save-attn"
+        # there overshoots the 15.75 GB HBM by ~0.8 GB (measured).
+        policy = jax.checkpoint_policies.save_only_these_names("flash_o", "flash_lse")
+        return nn.remat(UNetBlock, policy=policy), "none"
     if mode == "ff":
         return UNetBlock, "ff"  # remat FFs only; resnets + attention saved
     if mode == "resnet":

@@ -51,6 +51,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1241,7 +1242,11 @@ def _halo_attention_core(q, k_ext, v_ext, info, fold, bq, bk, window):
 
 def _halo_fwd_rule(q, k_ext, v_ext, info, fold, bq, bk, window):
     o, lse = _halo_flash_fwd(q, k_ext, v_ext, info, fold, bq, bk, window)
-    return o, (q, k_ext, v_ext, info, o, lse[..., 0])
+    # named for the "save-attn-out" remat policy (see _fwd_rule): the
+    # seq-sharded halo sites get the same save-outputs-only treatment
+    o = checkpoint_name(o, "flash_o")
+    lse = checkpoint_name(lse[..., 0], "flash_lse")
+    return o, (q, k_ext, v_ext, info, o, lse)
 
 
 def _halo_bwd_rule(fold, bq, bk, window, res, g):
@@ -1419,8 +1424,14 @@ def _fwd_rule(q, k, v, fold, bq, bk, window, fast=False, dense=False):
     o, lse = _flash_fwd(q, k, v, fold, bq, bk, window, False, dense=dense)
     # the residual crossing fwd->bwd stays 2-D either way: lane-major
     # (B*nq, rows) when dense, squeezed (B, QR) otherwise (the (B, QR, 1)
-    # column form would lane-pad 128x in HBM)
-    return o, (q, k, v, o, lse if dense else lse[..., 0])
+    # column form would lane-pad 128x in HBM).
+    # o/lse carry checkpoint names: under remat_mode="save-attn-out"
+    # (nn/unet.py) the policy saves ONLY these — the backward then re-runs
+    # the cheap q/kv projections but never the flash forward kernel itself
+    # (its outputs being saved, the recompute jaxpr DCEs the kernel call).
+    o = checkpoint_name(o, "flash_o")
+    lse = checkpoint_name(lse if dense else lse[..., 0], "flash_lse")
+    return o, (q, k, v, o, lse)
 
 
 def _bwd_rule(fold, bq, bk, window, fast, dense, res, g):
@@ -1459,7 +1470,10 @@ def _flash_attention_rope(q, k, v, cq, sq, ck, sk, fold, bq, bk, window, dense=F
 def _rope_fwd_rule(q, k, v, cq, sq, ck, sk, fold, bq, bk, window, dense=False):
     k_rot = _rotate_rank3(k, ck, sk)
     o, lse = _flash_fwd(q, k_rot, v, fold, bq, bk, window, fast=False, rope=(cq, sq), dense=dense)
-    return o, (q, k_rot, v, o, lse if dense else lse[..., 0], cq, sq, ck, sk)
+    # named for the "save-attn-out" remat policy (see _fwd_rule)
+    o = checkpoint_name(o, "flash_o")
+    lse = checkpoint_name(lse if dense else lse[..., 0], "flash_lse")
+    return o, (q, k_rot, v, o, lse, cq, sq, ck, sk)
 
 
 def _rope_bwd_rule(fold, bq, bk, window, dense, res, g):

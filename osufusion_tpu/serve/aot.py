@@ -12,8 +12,19 @@ needs process restarts to be cheap too.
 training's end, or on the first serve), the resulting StableHLO module is
 serialized to disk keyed on everything that shapes the program — model
 config, batch, padded length, step count, sampler, CFG scale — and any later
-process deserializes it (milliseconds), pays the compile-cache hit (~4 s),
-and samples. No Python tracing of the model ever runs again.
+process deserializes it (milliseconds). No Python tracing of the model ever
+runs again.
+
+The XLA COMPILE of the deserialized module, however, is NOT served by the
+persistent compilation cache: the cache key of a ``jit(exported.call)``
+program is process-dependent (measured: three processes compiling the
+identical artifact produced three distinct ``jit_call-*`` keys, each paying
+the full ~63 s remote compile). So alongside the StableHLO we persist the
+COMPILED EXECUTABLE itself (``jax.experimental.serialize_executable`` — the
+same PJRT executable-serialization machinery a compile-cache hit uses, keyed
+by OUR config digest instead of XLA's): a later process deserializes the
+binary and runs, paying neither trace nor compile. The StableHLO artifact is
+kept as the portable fallback (executable blobs are chip/runtime-specific).
 
 Usage::
 
@@ -107,6 +118,47 @@ def export_sampler(
     return path
 
 
+def _save_executable(compiled, path: Path) -> bool:
+    """Persist a jax.stages.Compiled as a chip-specific binary blob.
+
+    Returns False (and writes nothing) on backends whose executables don't
+    support serialization — callers then stay on the StableHLO path."""
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    try:
+        blob, in_tree, out_tree = se.serialize(compiled)
+    except (ValueError, NotImplementedError):
+        return False
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(pickle.dumps((blob, in_tree, out_tree)))
+    tmp.replace(path)  # atomic publish
+    return True
+
+
+def _load_executable(path: Path):
+    """Deserialize a persisted executable; None if incompatible/corrupt."""
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    try:
+        blob, in_tree, out_tree = pickle.loads(path.read_bytes())
+        return se.deserialize_and_load(blob, in_tree, out_tree)
+    except Exception:
+        return None  # stale blob (runtime/chip change): fall back to StableHLO
+
+
+def _compile_exported(exported):
+    """AOT-compile a deserialized Exported: its own in_tree/in_avals give the
+    argument specs, so no caller-side params are needed."""
+    args, kwargs = jax.tree.unflatten(
+        exported.in_tree, [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in exported.in_avals]
+    )
+    return jax.jit(exported.call).lower(*args, **kwargs).compile()
+
+
 def load_sampler(
     model,
     a_shape: Tuple[int, int, int],
@@ -115,21 +167,29 @@ def load_sampler(
     cond_scale: float = 2.0,
     aot_dir: Optional[Path] = None,
 ) -> Optional[Callable]:
-    """Deserialize a previously exported sampler, or None if absent.
+    """Load a previously exported sampler, or None if absent.
 
-    The returned callable takes (params, a, c, x) — no Python tracing of the
-    model happens; XLA compile of the deserialized module is served by the
-    persistent compile cache when warm."""
+    Fast path: the persisted EXECUTABLE (.xexec) deserializes in seconds —
+    no tracing, no XLA compile. Fallback: the StableHLO (.jaxexport) is
+    AOT-compiled here and the resulting executable is persisted for the next
+    process. The returned callable takes (params, a, c, x)."""
     aot_dir = Path(aot_dir or DEFAULT_AOT_DIR)
     B, _, padded = a_shape
-    path = aot_dir / (_sampler_key(model, B, padded, steps, sampler, cond_scale) + ".jaxexport")
-    if not path.exists():
-        return None
-    exported = jax_export.deserialize(path.read_bytes())
-    call = jax.jit(exported.call)
+    key = _sampler_key(model, B, padded, steps, sampler, cond_scale)
+    xpath = aot_dir / (key + ".xexec")
+    compiled = _load_executable(xpath) if xpath.exists() else None
+    if compiled is None:
+        path = aot_dir / (key + ".jaxexport")
+        if not path.exists():
+            return None
+        exported = jax_export.deserialize(path.read_bytes())
+        compiled = _compile_exported(exported)
+        _save_executable(compiled, xpath)
 
     def run(params, a, c, x):
-        return call(params, jnp.asarray(a, jnp.float32), jnp.asarray(c, jnp.float32), jnp.asarray(x, jnp.float32))
+        return compiled(
+            params, jnp.asarray(a, jnp.float32), jnp.asarray(c, jnp.float32), jnp.asarray(x, jnp.float32)
+        )
 
     return run
 

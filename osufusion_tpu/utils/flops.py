@@ -147,10 +147,17 @@ def unet_remat_recompute_flops(
         ``dout``, concat-widened first resnet ``first_in``) under ``mode``."""
         if mode in ("none", "resnet-dots"):
             return 0.0
-        if mode == "block":
+        if mode in ("block", "save-attn-out"):
             f = _resblock(B, t, first_in, din) + _resblock(B, t, din, din) * n_blocks
             f += _transformer(B, t, din, cfg, ctx) * n_blocks
             f += _conv(B, t, din, dout, 3)  # sampler
+            if mode == "save-attn-out":
+                # the policy saves the flash kernel's outputs: the backward
+                # re-runs projections/FFs/resnets but never the kernel
+                f -= n_blocks * _attention(
+                    B, t, cfg.attn_heads, cfg.attn_dim_head, cfg.attn_kv_heads,
+                    ctx if cfg.attn_local else None,
+                )
             return f
         f = 0.0
         if mode in ("save-attn", "inner", "resnet"):

@@ -145,8 +145,10 @@ def test_remat_modes_are_memory_choices_not_math():
 
     base_loss, base_grads = loss_and_grads(False, "save-attn")
     # "mixed" takes per-width-level modes (the full-song policy): the default
-    # remat_level_modes puts save-attn at the widest level, block below
-    for mode in ("block", "save-attn", "ff", "resnet", "mixed"):
+    # remat_level_modes puts save-attn-out at the widest level, block below.
+    # "save-attn-out" = whole-block remat + save_only_these_names policy on
+    # the flash kernel outputs (o, lse) — math-identical like every mode.
+    for mode in ("block", "save-attn", "save-attn-out", "ff", "resnet", "mixed"):
         loss, grads = loss_and_grads(True, mode)
         np.testing.assert_allclose(float(loss), float(base_loss), rtol=1e-6)
         jax.tree.map(

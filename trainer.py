@@ -262,7 +262,7 @@ def parse_args() -> Config:
     p.add_argument("--gradient-checkpointing", action="store_true")
     p.add_argument(
         "--gradient-checkpointing-mode",
-        choices=["block", "save-attn", "ff", "resnet", "resnet-dots", "mixed"],
+        choices=["block", "save-attn", "save-attn-out", "ff", "resnet", "resnet-dots", "mixed"],
         default="save-attn",
         help="remat granularity when --gradient-checkpointing is on "
         "(block = max savings, save-attn = keep flash residuals, ff = FFs only, "
@@ -271,7 +271,7 @@ def parse_args() -> Config:
     p.add_argument(
         "--gradient-checkpointing-levels",
         type=str,
-        default="save-attn,block,block,block",
+        default="save-attn-out,block,block,block",
         help='comma-separated per-width-level modes for mode "mixed" '
         "(entry i = UNet width level i, widest first; missing entries repeat "
         "the last) — the full-song T=65536 policy",

@@ -434,13 +434,13 @@ def parse_args():
     p.add_argument("--gradient-checkpointing", action="store_true")
     p.add_argument(
         "--gradient-checkpointing-mode",
-        choices=["block", "save-attn", "ff", "resnet", "resnet-dots", "mixed"],
+        choices=["block", "save-attn", "save-attn-out", "ff", "resnet", "resnet-dots", "mixed"],
         default="save-attn",
     )
     p.add_argument(
         "--gradient-checkpointing-levels",
         type=str,
-        default="save-attn,block,block,block",
+        default="save-attn-out,block,block,block",
         help='per-width-level modes for mode "mixed" (see trainer.py)',
     )
     p.add_argument("--gradient-accumulation-steps", type=int, default=1)
