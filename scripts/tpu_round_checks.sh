@@ -28,9 +28,14 @@ run() { # name, env...
 }
 
 run bench_train  BENCH_MODE=train
-run bench_train_dit BENCH_MODE=train BENCH_BACKBONE=dit
-run bench_train_mmdit BENCH_MODE=train BENCH_BACKBONE=mmdit
+# transformer backbones fit in HBM without remat at the production config
+# (measured: remat only slows them — dit 27.4% -> 36.1%, mmdit 25.4% -> 31.8%)
+run bench_train_dit BENCH_MODE=train BENCH_BACKBONE=dit BENCH_REMAT=0
+run bench_train_mmdit BENCH_MODE=train BENCH_BACKBONE=mmdit BENCH_REMAT=0
 run bench_data BENCH_MODE=data
+# the full-song winner: per-level mixed (save-attn-out at the widest level);
+# the uniform modes map the OOM frontier (resnet/save-attn/ff OOM at T=65536)
+run fullsong_train_mixed BENCH_MODE=fullsong_train BENCH_REMAT_MODE=mixed
 for mode in resnet block save-attn ff; do
   run "fullsong_train_$mode" BENCH_MODE=fullsong_train BENCH_REMAT_MODE=$mode
 done
