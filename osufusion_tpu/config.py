@@ -92,11 +92,13 @@ class ModelConfig:
     #                 attention) for a few GB.
     remat_mode: str = "save-attn"
     # per-width-level remat modes, read only when remat_mode == "mixed";
-    # missing entries repeat the last one. Default = the full-song policy:
-    # save-attn-out at the widest level (plain save-attn's q/k/v/o residuals
-    # overshoot the 15.75 GB v5e HBM by ~0.8 GB at T=65536 — measured),
-    # whole-block remat below.
-    remat_level_modes: Tuple[str, ...] = ("save-attn-out", "block", "block", "block")
+    # missing entries repeat the last one. Default = the measured full-song
+    # frontier winner: save-attn-out at the two widest levels (1.947 s/step,
+    # 34.98% MFU at T=65536 on one v5e), block below. Extending save-attn-out
+    # to level 2 overshoots the 15.75 GB HBM by 86 MB, uniform save-attn-out
+    # by 501 MB, and plain save-attn at level 0 alone by 814 MB (all
+    # measured — bench_results/r05_fullsong_*.json).
+    remat_level_modes: Tuple[str, ...] = ("save-attn-out", "save-attn-out", "block", "block")
     # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
     attn_backend: str = "auto"
     # sliding-window local attention with window = the level's context length.

@@ -97,6 +97,10 @@ def generate_beatmap(
         steps = sampling_timesteps or model.cfg.sampling_timesteps
         method = sampler or ("ddim" if isinstance(model, _DM) else "midpoint")
         run = load_or_export_sampler(model, params, a.shape, steps, method, cond_scale)
+        # drain the param upload before the first execute: on a remote-device
+        # link the deserialized executable's first call otherwise absorbs the
+        # pending transfers synchronously (measured on the tunneled v5e)
+        params = jax.block_until_ready(jax.device_put(params, jax.devices()[0]))
         out = run(params, a, c, x0)
     else:
         kw = {} if sampler is None else {"method": sampler}
