@@ -35,6 +35,7 @@ def capture(outdir: str, steps: int) -> None:
     dim_h = int(os.environ.get("BENCH_DIM_H", 512))
     batch = int(os.environ.get("BENCH_BATCH", 4))
     seq = int(os.environ.get("BENCH_SEQ", 4096))
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
     remat_mode = os.environ.get("BENCH_REMAT_MODE", "resnet")
     backbone = os.environ.get("BENCH_BACKBONE", "unet")
     extra = {}
@@ -46,7 +47,7 @@ def capture(outdir: str, steps: int) -> None:
     cfg = Config(
         model=ModelConfig(
             dim_h=dim_h, backbone=backbone, dtype="bfloat16", param_dtype="bfloat16",
-            remat=True, remat_mode=remat_mode, **extra,
+            remat=remat, remat_mode=remat_mode, **extra,
         ),
         diffusion=DiffusionConfig(),
         train=TrainConfig(batch_size=batch, total_steps=10**6, warmup_steps=1000, lr=1e-5, full_bf16=True),
@@ -120,6 +121,30 @@ def analyze(outdir: str, steps: int, top: int) -> None:
     print(f"# top {top} ops (ms/step):")
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{dur/steps:9.3f}  {name[:140]}")
+
+    # HLO-level aggregation: group by (hlo_category, name-sans-suffix) with
+    # bytes_accessed -> achieved GB/s. This is the table perf decisions read:
+    # an entry near HBM peak (~819 GB/s on v5e) is traffic-bound (only
+    # cutting bytes helps); far below peak with MXU category = tuning room.
+    hlo = defaultdict(lambda: [0.0, 0, 0.0])  # dur_ms, count, bytes
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        n = e.get("name", "")
+        if n.startswith("jit_") or n.isdigit():
+            continue  # umbrella events double-count their children
+        a = e.get("args", {})
+        key = (a.get("hlo_category", "?"), re.sub(r"\.\d+$", "", n))
+        hlo[key][0] += e.get("dur", 0) / 1e3
+        hlo[key][1] += 1
+        hlo[key][2] += float(a.get("bytes_accessed", 0))
+    print(f"# HLO groups (ms/step, achieved GB/s, calls/step):")
+    for (cat, base), (dur, cnt, byts) in sorted(hlo.items(), key=lambda kv: -kv[1][0])[:top]:
+        ms = dur / steps
+        if ms < 0.05:
+            break
+        gbs = (byts / steps) / (ms / 1e3) / 1e9 if ms > 0 else 0.0
+        print(f"{ms:9.2f}  {gbs:7.0f} GB/s {cnt // steps:6d}/st  {cat} | {base}")
 
 
 def main() -> None:
