@@ -291,6 +291,8 @@ def bench_fullsong_train() -> dict:
     extra = {}
     if os.environ.get("BENCH_REMAT_LEVELS"):
         extra["remat_level_modes"] = tuple(os.environ["BENCH_REMAT_LEVELS"].split(","))
+    if os.environ.get("BENCH_AUDIO_REMAT"):
+        extra["audio_remat_mode"] = os.environ["BENCH_AUDIO_REMAT"]
 
     cfg = Config(
         model=ModelConfig(
@@ -310,6 +312,7 @@ def bench_fullsong_train() -> dict:
         "seq": seq,
         "remat_mode": remat_mode,
         **({"remat_level_modes": list(cfg.model.remat_level_modes)} if remat_mode == "mixed" else {}),
+        **({"audio_remat_mode": cfg.model.audio_remat_mode} if cfg.model.audio_remat_mode else {}),
         "device": jax.devices()[0].device_kind,
     }
 

@@ -99,6 +99,14 @@ class ModelConfig:
     # by 501 MB, and plain save-attn at level 0 alone by 814 MB (all
     # measured — bench_results/r05_fullsong_*.json).
     remat_level_modes: Tuple[str, ...] = ("save-attn-out", "save-attn-out", "block", "block")
+    # remat mode override for the parallel AudioEncoder stack; None follows
+    # the trunk's per-level plan (the historical behavior). The audio stack's
+    # saved flash o+lse at T=65536 cost hundreds of MB while re-running its
+    # windowed attention forwards is only ~1-2% of the step, so "block" here
+    # frees the HBM that lets the TRUNK keep save-attn-out at one more width
+    # level (the shared-plan mixed012 run OOM'd by just 86 MB — measured,
+    # bench_results/r05_fullsong_mixed012_oom.json).
+    audio_remat_mode: Optional[str] = None
     # attention backend: "xla" | "pallas" (pallas falls back to xla off-TPU)
     attn_backend: str = "auto"
     # sliding-window local attention with window = the level's context length.

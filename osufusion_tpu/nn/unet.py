@@ -43,21 +43,26 @@ X_PAD_VALUE = -1.0
 A_PAD_VALUE = -23.0
 
 
-def level_remat_mode(cfg: ModelConfig, level: int) -> str:
+def level_remat_mode(cfg: ModelConfig, level: int, audio: bool = False) -> str:
     """Effective remat mode at width level ``level`` (0 = widest). For
     remat_mode="mixed" this reads ``remat_level_modes`` (missing entries
-    repeat the last); every other mode applies uniformly."""
+    repeat the last); every other mode applies uniformly. The AudioEncoder
+    stack (``audio=True``) can be overridden wholesale via
+    ``cfg.audio_remat_mode`` — its saved attention residuals are the
+    cheapest HBM to give back at long T (see config.py)."""
     if not cfg.remat:
         return "none"
+    if audio and cfg.audio_remat_mode:
+        return cfg.audio_remat_mode
     if cfg.remat_mode != "mixed":
         return cfg.remat_mode
     modes = cfg.remat_level_modes or ("save-attn",)
     return modes[min(level, len(modes) - 1)]
 
 
-def _remat_plan(cfg: ModelConfig, level: int = 0):
+def _remat_plan(cfg: ModelConfig, level: int = 0, audio: bool = False):
     """(block_cls, remat_inner mode) for width level ``level``."""
-    mode = level_remat_mode(cfg, level)
+    mode = level_remat_mode(cfg, level, audio=audio)
     if mode == "block":
         return nn.remat(UNetBlock), "none"
     if mode == "save-attn-out":
@@ -182,7 +187,7 @@ class AudioEncoder(nn.Module):
         dims_h = (cfg.dim_h, *[cfg.dim_h * m for m in cfg.dim_h_mult])
         n_layers = len(cfg.dim_h_mult)
         for i in range(n_layers):
-            block_cls, remat_inner = _remat_plan(cfg, i)
+            block_cls, remat_inner = _remat_plan(cfg, i, audio=True)
             x, _ = block_cls(
                 dim_in=dims_h[i],
                 dim_out=dims_h[i + 1],

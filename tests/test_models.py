@@ -136,8 +136,8 @@ def test_remat_modes_are_memory_choices_not_math():
     rng = jax.random.PRNGKey(0)
     x, a, c = tiny_batch(jax.random.PRNGKey(1))
 
-    def loss_and_grads(remat, mode):
-        cfg = dataclasses.replace(TINY, remat=remat, remat_mode=mode)
+    def loss_and_grads(remat, mode, **over):
+        cfg = dataclasses.replace(TINY, remat=remat, remat_mode=mode, **over)
         model = DiffusionModel(cfg, DIFF)
         params = model.init_params(rng, seq_len=64)
         fn = lambda p: model.loss(p, jax.random.PRNGKey(2), x, a, c)
@@ -148,8 +148,18 @@ def test_remat_modes_are_memory_choices_not_math():
     # remat_level_modes puts save-attn-out at the widest level, block below.
     # "save-attn-out" = whole-block remat + save_only_these_names policy on
     # the flash kernel outputs (o, lse) — math-identical like every mode.
-    for mode in ("block", "save-attn", "save-attn-out", "ff", "resnet", "mixed"):
-        loss, grads = loss_and_grads(True, mode)
+    # audio_remat_mode overrides the AudioEncoder stack's plan wholesale
+    # (config.py) — a pure memory choice like every other mode here.
+    for mode, over in (
+        ("block", {}),
+        ("save-attn", {}),
+        ("save-attn-out", {}),
+        ("ff", {}),
+        ("resnet", {}),
+        ("mixed", {}),
+        ("mixed", {"audio_remat_mode": "block"}),
+    ):
+        loss, grads = loss_and_grads(True, mode, **over)
         np.testing.assert_allclose(float(loss), float(base_loss), rtol=1e-6)
         jax.tree.map(
             lambda g, b: np.testing.assert_allclose(
