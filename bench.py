@@ -304,13 +304,21 @@ def bench_fullsong_train() -> dict:
             **extra,
         ),
         diffusion=DiffusionConfig(),
-        train=TrainConfig(batch_size=batch, total_steps=10**6, warmup_steps=1000, lr=1e-5, full_bf16=True),
+        train=TrainConfig(
+            batch_size=batch,
+            total_steps=10**6,
+            warmup_steps=1000,
+            lr=1e-5,
+            full_bf16=True,
+            opt_moments=os.environ.get("BENCH_MOMENTS", "dtype"),
+        ),
     )
     detail: dict = {
         "dim_h": dim_h,
         "batch": batch,
         "seq": seq,
         "remat_mode": remat_mode,
+        **({"opt_moments": cfg.train.opt_moments} if cfg.train.opt_moments != "dtype" else {}),
         **({"remat_level_modes": list(cfg.model.remat_level_modes)} if remat_mode == "mixed" else {}),
         **({"audio_remat_mode": cfg.model.audio_remat_mode} if cfg.model.audio_remat_mode else {}),
         "device": jax.devices()[0].device_kind,

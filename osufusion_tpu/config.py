@@ -168,6 +168,12 @@ class TrainConfig:
     sample_density: float = 1.0
     mixed_precision: str = "bf16"  # no | fp16 | bf16 (reference also has fp8 via MS-AMP)
     full_bf16: bool = False
+    # Adam moment storage: "dtype" keeps optax.adamw's default (moments in
+    # the params' dtype — bf16 under full_bf16); "int8" stores both moments
+    # blockwise-absmax-quantized (train/quant_opt.py), ~2.5 GB freed at the
+    # 1.28B-param production width — the HBM that decides which remat policy
+    # fits the T=65536 full-song regime.
+    opt_moments: str = "dtype"
     gradient_checkpointing: bool = False
     gradient_accumulation_steps: int = 1
     clip_grad_norm: float = 0.0

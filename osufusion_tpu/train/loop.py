@@ -53,7 +53,12 @@ def make_lr_schedule(cfg: Config) -> optax.Schedule:
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    tx = optax.adamw(make_lr_schedule(cfg))
+    if cfg.train.opt_moments == "int8":
+        from osufusion_tpu.train.quant_opt import adamw_int8
+
+        tx = adamw_int8(make_lr_schedule(cfg))
+    else:
+        tx = optax.adamw(make_lr_schedule(cfg))
     if cfg.train.clip_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.train.clip_grad_norm), tx)
     return tx

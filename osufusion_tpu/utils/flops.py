@@ -136,6 +136,13 @@ def unet_remat_recompute_flops(
     h = cfg.dim_h
     dims = [h] + [h * m for m in cfg.dim_h_mult]
     modes = _unet_level_modes(cfg, remat_mode)
+    # the AudioEncoder stack may be overridden wholesale (config.py
+    # audio_remat_mode) — mirror nn.unet.level_remat_mode(audio=True)
+    audio_modes = (
+        [cfg.audio_remat_mode] * len(modes)
+        if getattr(cfg, "audio_remat_mode", None) and cfg.remat
+        else modes
+    )
     total = 0.0
 
     def ff(t: int, dim: int) -> float:
@@ -174,7 +181,7 @@ def unet_remat_recompute_flops(
         # block of the same width (working dim dims[i+1], widened first
         # resnet from the skip concat)
         total += level(modes[i], t, din, dout, ctx, n_blocks, din)
-        total += level(modes[i], t, din, dout, 4096 // (2**i), n_blocks, din)
+        total += level(audio_modes[i], t, din, dout, 4096 // (2**i), n_blocks, din)
         total += level(modes[i], t, dout, din, ctx, n_blocks, dout + din)
 
     tb = T // (2 ** (len(dims) - 2))
@@ -265,7 +272,7 @@ def train_step_flops(
         # transformer remat is whole-block (nn.remat around DiTBlock/MMDiTBlock):
         # the backward re-runs every block forward; stems/heads are not rematted
         return fwd * 4.0
-    if remat_mode == "block":
+    if remat_mode == "block" and not getattr(cfg, "audio_remat_mode", None):
         return fwd * 4.0
     # "mixed" and the partial modes share the exact per-level accounting
     return fwd * 3.0 + unet_remat_recompute_flops(cfg, batch, seq, remat_mode)
